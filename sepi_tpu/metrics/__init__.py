@@ -1,0 +1,21 @@
+from .det import (
+    DetCurve,
+    compute_det,
+    eer,
+    min_dcf,
+    SRE08_DCF,
+    SRE10_DCF,
+    evaluate_scores,
+    EvalResult,
+)
+
+__all__ = [
+    "DetCurve",
+    "compute_det",
+    "eer",
+    "min_dcf",
+    "SRE08_DCF",
+    "SRE10_DCF",
+    "evaluate_scores",
+    "EvalResult",
+]

@@ -1,0 +1,189 @@
+"""MFCC / log-mel filterbank extraction as a GEMM-native TPU program.
+
+Replaces Kaldi `compute-mfcc-feats` / `compute-fbank-feats`
+(`steps/make_mfcc.sh:107`) with Kaldi-compatible numerics, but the compute
+is re-shaped for the MXU: instead of a per-frame FFT, the real DFT is one
+matmul of the windowed frames against a precomputed (flen, 2K) cos/-sin
+basis, followed by |.|^2 and a second matmul against the mel bank — i.e.
+the whole spectral frontend is two GEMMs + elementwise, which XLA fuses
+and tiles onto the systolic array (cf. the GEMM-native NDFT frontend idea,
+PAPERS.md "MelT").  Frame counts are tiny relative to MXU capacity, so the
+frontend is effectively free next to the TDNN.
+
+Kaldi conventions preserved (so features are interchangeable with the
+reference recipes):
+- HTK/Kaldi mel scale 1127*ln(1+f/700); triangular banks between
+  low_freq/high_freq with (num_bins+1) intervals.
+- DCT-II with orthogonal normalization; cepstral liftering
+  1 + 0.5*Q*sin(pi*k/Q).
+- use_energy: C0 replaced by raw-frame log energy (MfccOptions default,
+  which the SRE configs rely on for the energy VAD).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrontendConfig
+from .framing import frame_signal, num_frames
+
+_EPS = float(np.finfo(np.float32).tiny)
+
+
+def mel_scale(freq):
+    return 1127.0 * np.log1p(np.asarray(freq, dtype=np.float64) / 700.0)
+
+
+def mel_banks(cfg: FrontendConfig) -> np.ndarray:
+    """(num_fft_bins, num_mel_bins) triangular mel weights, Kaldi-style."""
+    nfft = cfg.padded_window_size
+    num_fft_bins = nfft // 2 + 1
+    fft_bin_width = cfg.sample_rate / nfft
+    low, high = cfg.low_freq, cfg.high_freq_hz
+    if not (0.0 <= low < high <= cfg.nyquist):
+        raise ValueError(f"bad mel range [{low}, {high}] for fs={cfg.sample_rate}")
+    mel_low, mel_high = mel_scale(low), mel_scale(high)
+    delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+    mel_freqs = mel_scale(np.arange(num_fft_bins) * fft_bin_width)  # (K,)
+    left = mel_low + np.arange(cfg.num_mel_bins) * delta  # (M,)
+    center = left + delta
+    right = center + delta
+    m = mel_freqs[:, None]
+    up = (m - left[None, :]) / delta
+    down = (right[None, :] - m) / delta
+    w = np.minimum(up, down)
+    w = np.clip(w, 0.0, None)
+    return w.astype(np.float32)
+
+
+def dct_matrix(num_ceps: int, num_bins: int) -> np.ndarray:
+    """(num_bins, num_ceps) orthogonal DCT-II basis (Kaldi ComputeDctMatrix)."""
+    n = np.arange(num_bins, dtype=np.float64)
+    k = np.arange(num_ceps, dtype=np.float64)
+    basis = np.cos(math.pi / num_bins * (n[:, None] + 0.5) * k[None, :])
+    basis *= math.sqrt(2.0 / num_bins)
+    basis[:, 0] = math.sqrt(1.0 / num_bins)
+    return basis.astype(np.float32)
+
+
+def lifter_coeffs(num_ceps: int, q: float) -> np.ndarray:
+    if q == 0.0:
+        return np.ones(num_ceps, dtype=np.float32)
+    k = np.arange(num_ceps, dtype=np.float64)
+    return (1.0 + 0.5 * q * np.sin(math.pi * k / q)).astype(np.float32)
+
+
+def dft_basis(cfg: FrontendConfig) -> np.ndarray:
+    """(flen, 2K) real-DFT basis: [cos | -sin] columns for bins 0..K-1.
+
+    Only the first ``frame_length`` rows are needed — the zero padding to
+    ``padded_window_size`` contributes nothing — so the GEMM contraction
+    dim stays at flen (200 for 8 kHz/25 ms).
+    """
+    nfft = cfg.padded_window_size
+    k_bins = nfft // 2 + 1
+    n = np.arange(cfg.frame_length, dtype=np.float64)
+    k = np.arange(k_bins, dtype=np.float64)
+    ang = 2.0 * math.pi * n[:, None] * k[None, :] / nfft
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(np.float32)
+
+
+def _power_spectrum(windowed: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """(..., flen) @ (flen, 2K) -> power (..., K). One MXU GEMM."""
+    two_k = basis.shape[1]
+    k = two_k // 2
+    spec = jnp.dot(windowed, basis, preferred_element_type=jnp.float32)
+    return spec[..., :k] ** 2 + spec[..., k:] ** 2
+
+
+class FeatureExtractor:
+    """Precompiled MFCC/fbank pipeline for a fixed FrontendConfig.
+
+    Usage::
+
+        fe = FeatureExtractor(cfg)
+        feats, mask = fe.mfcc(samples, lengths, key)   # (B, T, num_ceps)
+    """
+
+    def __init__(self, cfg: FrontendConfig):
+        self.cfg = cfg
+        self._mel = jnp.asarray(mel_banks(cfg))
+        self._dft = jnp.asarray(dft_basis(cfg))
+        self._dct = jnp.asarray(dct_matrix(cfg.num_ceps, cfg.num_mel_bins))
+        self._lifter = jnp.asarray(lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter))
+
+    def _log_mel(self, windowed: jnp.ndarray) -> jnp.ndarray:
+        power = _power_spectrum(windowed, self._dft)
+        mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
+        return jnp.log(jnp.maximum(mel, _EPS))
+
+    @partial(jax.jit, static_argnames=("self", "max_frames"))
+    def _mfcc_impl(self, samples, lengths, max_frames, key):
+        cfg = self.cfg
+        windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
+        log_mel = self._log_mel(windowed)
+        ceps = jnp.dot(log_mel, self._dct, preferred_element_type=jnp.float32)
+        ceps = ceps * self._lifter
+        if cfg.use_energy:
+            if cfg.energy_floor > 0.0:
+                log_e = jnp.maximum(log_e, math.log(cfg.energy_floor))
+            ceps = ceps.at[..., 0].set(log_e)
+        return ceps * mask[..., None], mask
+
+    @partial(jax.jit, static_argnames=("self", "max_frames"))
+    def _fbank_impl(self, samples, lengths, max_frames, key):
+        cfg = self.cfg
+        windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
+        out = self._log_mel(windowed)
+        if not cfg.use_log_fbank:
+            out = jnp.exp(out)
+        return out * mask[..., None], mask
+
+    # -- public API ---------------------------------------------------
+
+    def mfcc(self, samples, lengths, key=None, max_frames: Optional[int] = None):
+        samples, lengths, squeeze = _batchify(samples, lengths)
+        if max_frames is None:
+            max_frames = int(num_frames(samples.shape[1], self.cfg))
+        feats, mask = self._mfcc_impl(samples, lengths, max_frames, key)
+        return _unbatch(feats, mask, squeeze)
+
+    def fbank(self, samples, lengths, key=None, max_frames: Optional[int] = None):
+        samples, lengths, squeeze = _batchify(samples, lengths)
+        if max_frames is None:
+            max_frames = int(num_frames(samples.shape[1], self.cfg))
+        feats, mask = self._fbank_impl(samples, lengths, max_frames, key)
+        return _unbatch(feats, mask, squeeze)
+
+
+def _batchify(samples, lengths):
+    samples = jnp.asarray(samples)
+    squeeze = samples.ndim == 1
+    if squeeze:
+        samples = samples[None, :]
+    if lengths is None:
+        lengths = jnp.full((samples.shape[0],), samples.shape[1], dtype=jnp.int32)
+    else:
+        lengths = jnp.atleast_1d(jnp.asarray(lengths, dtype=jnp.int32))
+    return samples, lengths, squeeze
+
+
+def _unbatch(feats, mask, squeeze):
+    if squeeze:
+        return feats[0], mask[0]
+    return feats, mask
+
+
+def mfcc(samples, lengths=None, cfg: FrontendConfig = FrontendConfig(), key=None):
+    """Functional one-shot MFCC (builds the extractor; prefer the class in loops)."""
+    return FeatureExtractor(cfg).mfcc(samples, lengths, key)
+
+
+def fbank(samples, lengths=None, cfg: FrontendConfig = FrontendConfig(), key=None):
+    return FeatureExtractor(cfg).fbank(samples, lengths, key)

@@ -1,0 +1,148 @@
+"""Signal framing with Kaldi frame-extraction semantics, batched for TPU.
+
+Replaces the framing stage of `compute-mfcc-feats` / `compute-fbank-feats`
+(reference call sites: `steps/make_mfcc.sh:107`).  Semantics covered:
+
+- ``snip_edges=True``:  frames = (N - flen) // shift + 1, frame t starts at
+  t*shift (first-sample-aligned).
+- ``snip_edges=False`` (the SRE configs' choice, `v2/conf/mfcc.conf`):
+  frames = (N + shift//2) // shift, frame t is *centered* at
+  t*shift + shift//2, out-of-range samples mirror-reflected (without edge
+  repetition) — this keeps frame counts aligned with Kaldi alignments,
+  which v3 depends on (`v3/run_sre10.sh:60-64`).
+- dither, DC-offset removal, raw log-energy, preemphasis, window multiply,
+  in Kaldi's order (dither -> dc -> [energy] -> preemph -> window).
+
+TPU design notes: everything is a static-shape gather + elementwise chain
+over a (B, N) sample batch; per-utterance true lengths enter only through
+the reflection index computation and the frame validity mask, so one
+compiled program serves a whole padded batch.  The gather feeds a GEMM
+frontend (see features.py), keeping the whole frontend on MXU/VPU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrontendConfig
+
+
+def num_frames(num_samples, cfg: FrontendConfig):
+    """Frame count for a given sample count (host or traced ints)."""
+    flen, shift = cfg.frame_length, cfg.frame_shift
+    if cfg.snip_edges:
+        if isinstance(num_samples, (int, np.integer)):
+            return max((num_samples - flen) // shift + 1, 0) if num_samples >= flen else 0
+        n = (num_samples - flen) // shift + 1
+        return jnp.maximum(jnp.where(num_samples >= flen, n, 0), 0)
+    else:
+        return (num_samples + shift // 2) // shift
+
+
+def window_function(cfg: FrontendConfig) -> np.ndarray:
+    """Kaldi window shapes; 'povey' is hamming-like raised to 0.85."""
+    m = cfg.frame_length
+    a = 2.0 * math.pi / (m - 1)
+    n = np.arange(m, dtype=np.float64)
+    if cfg.window_type == "hanning":
+        w = 0.5 - 0.5 * np.cos(a * n)
+    elif cfg.window_type == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * n)
+    elif cfg.window_type == "povey":
+        w = (0.5 - 0.5 * np.cos(a * n)) ** 0.85
+    elif cfg.window_type == "rectangular":
+        w = np.ones(m)
+    else:
+        raise ValueError(f"unknown window type {cfg.window_type!r}")
+    return w.astype(np.float32)
+
+
+def _frame_indices(max_frames: int, length, cfg: FrontendConfig) -> jnp.ndarray:
+    """(T, flen) int32 sample indices for each frame, mirror-reflected
+    against the *true* utterance length (dynamic) when snip_edges=False."""
+    flen, shift = cfg.frame_length, cfg.frame_shift
+    t = jnp.arange(max_frames, dtype=jnp.int32)[:, None]
+    n = jnp.arange(flen, dtype=jnp.int32)[None, :]
+    if cfg.snip_edges:
+        idx = t * shift + n
+        # Frames past the valid region are masked later; clamp for safety.
+        return jnp.clip(idx, 0, length - 1)
+    start = t * shift + shift // 2 - flen // 2
+    idx = start + n
+    # Mirror without repeating the edge sample (Kaldi convention):
+    # i < 0 -> -i - 1 ; i >= L -> 2L - 1 - i.  Apply twice to cover
+    # pathological short utterances, then clamp.
+    idx = jnp.where(idx < 0, -idx - 1, idx)
+    idx = jnp.where(idx >= length, 2 * length - 1 - idx, idx)
+    idx = jnp.where(idx < 0, -idx - 1, idx)
+    return jnp.clip(idx, 0, length - 1)
+
+
+def _process_frames(
+    frames: jnp.ndarray,
+    cfg: FrontendConfig,
+    key: Optional[jax.Array],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """dither -> remove DC -> raw energy -> preemphasis -> window.
+
+    frames: (T, flen) float32.  Returns (windowed (T, flen), log_energy (T,)).
+    """
+    if cfg.dither != 0.0 and key is not None:
+        frames = frames + cfg.dither * jax.random.normal(key, frames.shape, frames.dtype)
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    eps = jnp.finfo(jnp.float32).tiny
+    log_energy = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=-1), eps))
+    if cfg.preemphasis != 0.0:
+        shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=-1)
+        frames = frames - cfg.preemphasis * shifted
+    frames = frames * jnp.asarray(window_function(cfg))
+    if not cfg.raw_energy:
+        log_energy = jnp.log(jnp.maximum(jnp.sum(frames * frames, axis=-1), eps))
+    return frames, log_energy
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_frames"))
+def frame_signal(
+    samples: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FrontendConfig,
+    max_frames: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched framing.
+
+    Args:
+      samples: (B, N) float32 raw audio (padded).
+      lengths: (B,) int32 true sample counts.
+      max_frames: static frame capacity (>= num_frames(max length)).
+      key: PRNG key for dither (None disables dither).
+
+    Returns:
+      windowed (B, max_frames, flen), log_energy (B, max_frames),
+      frame_mask (B, max_frames) bool.
+    """
+    samples = samples.astype(jnp.float32)
+    b = samples.shape[0]
+    keys = jax.random.split(key, b) if key is not None else [None] * b
+
+    def one(s, length, k):
+        idx = _frame_indices(max_frames, length, cfg)
+        frames = s[idx]
+        return _process_frames(frames, cfg, k)
+
+    if key is not None:
+        windowed, log_e = jax.vmap(lambda s, l, k: one(s, l, k))(
+            samples, lengths, jnp.stack(keys)
+        )
+    else:
+        windowed, log_e = jax.vmap(lambda s, l: one(s, l, None))(samples, lengths)
+    nf = num_frames(lengths, cfg)
+    mask = jnp.arange(max_frames)[None, :] < nf[:, None]
+    return windowed, log_e, mask
