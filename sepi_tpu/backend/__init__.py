@@ -1,0 +1,16 @@
+from .vector import length_normalize, subtract_global_mean
+from .lda import LdaTransform, compute_lda
+from .plda import Plda, train_plda, plda_score_matrix, adapt_plda
+from .fusion import linear_fusion
+
+__all__ = [
+    "length_normalize",
+    "subtract_global_mean",
+    "LdaTransform",
+    "compute_lda",
+    "Plda",
+    "train_plda",
+    "plda_score_matrix",
+    "adapt_plda",
+    "linear_fusion",
+]

@@ -73,10 +73,13 @@ class AmNet(nn.Module):
     """ASR TDNN with bottleneck; per-frame senone logits."""
 
     cfg: AmConfig
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False, with_logits: bool = True):
-        stream = TdnnStack(self.cfg.specs, name="frames")(Stream(feats, 0, 0), train)
+        stream = TdnnStack(
+            self.cfg.specs, bn_momentum=self.bn_momentum, name="frames"
+        )(Stream(feats, 0, 0), train)
         out = {"bottleneck": stream}
         if with_logits:
             out["logits"] = nn.Dense(self.cfg.num_senones, name="output")(stream.x)
@@ -138,26 +141,32 @@ class MultitaskCVector(nn.Module):
     `frame_level_objf/common.py:248-294`)."""
 
     cfg: MultitaskConfig
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False,
                  task: str = "both"):
         cfg = self.cfg
-        shared = TdnnStack(cfg.shared_specs, name="shared")(Stream(feats, 0, 0), train)
+        bm = self.bn_momentum
+        shared = TdnnStack(cfg.shared_specs, bn_momentum=bm, name="shared")(
+            Stream(feats, 0, 0), train
+        )
         out = {}
         if task in ("am", "both"):
-            am = TdnnStack(_am_branch(cfg.num_shared), name="am_branch")(shared, train)
+            am = TdnnStack(_am_branch(cfg.num_shared), bn_momentum=bm, name="am_branch")(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am.x)
             out["am_context"] = (am.left, am.right)
         if task in ("xvec", "both"):
-            xv = TdnnStack(_xvec_branch(cfg.num_shared), name="xvec_branch")(shared, train)
+            xv = TdnnStack(_xvec_branch(cfg.num_shared), bn_momentum=bm, name="xvec_branch")(shared, train)
             pooled_mask = None
             if frame_mask is not None:
                 ctx = xv.left + xv.right
                 pooled_mask = frame_mask[:, ctx : ctx + xv.x.shape[1]]
             pooled = StatsPooling(name="stats")(xv.x, pooled_mask)
             out.update(
-                SegmentHead(cfg.embed_dim, cfg.num_speakers, name="segment")(pooled, train)
+                SegmentHead(
+                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+                )(pooled, train)
             )
         return out
 
@@ -192,21 +201,25 @@ class AdaptedXVector(nn.Module):
     """
 
     cfg: AdaptedConfig
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False):
         cfg = self.cfg
-        am = AmNet(cfg.am, name="am")(feats, train, with_logits=False)
-        xv = TdnnStack(_PREFIX[:4], name="xvec_branch")(Stream(feats, 0, 0), train)
+        bm = self.bn_momentum
+        am = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
+        xv = TdnnStack(_PREFIX[:4], bn_momentum=bm, name="xvec_branch")(Stream(feats, 0, 0), train)
         merged = append_streams([xv, am["bottleneck"]])
-        h = TdnnLayer(TdnnSpec(1500, (0,)), name="tdnn5")(merged.x, train)
+        h = TdnnLayer(TdnnSpec(1500, (0,)), bn_momentum=bm, name="tdnn5")(merged.x, train)
         stream = Stream(h, merged.left, merged.right)
         pooled_mask = None
         if frame_mask is not None:
             ctx = stream.left + stream.right
             pooled_mask = frame_mask[:, ctx : ctx + stream.x.shape[1]]
         pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
-        return SegmentHead(cfg.embed_dim, cfg.num_speakers, name="segment")(pooled, train)
+        return SegmentHead(
+            cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+        )(pooled, train)
 
 
 # ------------------------------------------------------------- v5 combined
@@ -236,22 +249,24 @@ class CombinedCVector(nn.Module):
     """
 
     cfg: CombinedConfig
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False,
                  task: str = "both"):
         cfg = self.cfg
-        shared = TdnnStack(_PREFIX[:1], name="shared")(Stream(feats, 0, 0), train)
+        bm = self.bn_momentum
+        shared = TdnnStack(_PREFIX[:1], bn_momentum=bm, name="shared")(Stream(feats, 0, 0), train)
         out = {}
         if task in ("am", "both"):
-            am_b = TdnnStack(_am_branch(1), name="am_branch")(shared, train)
+            am_b = TdnnStack(_am_branch(1), bn_momentum=bm, name="am_branch")(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am_b.x)
             out["am_context"] = (am_b.left, am_b.right)
         if task in ("xvec", "both"):
-            pre = AmNet(cfg.am, name="am")(feats, train, with_logits=False)
-            xv = TdnnStack(_xvec_branch(1)[:-1], name="xvec_branch")(shared, train)
+            pre = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
+            xv = TdnnStack(_xvec_branch(1)[:-1], bn_momentum=bm, name="xvec_branch")(shared, train)
             merged = append_streams([xv, pre["bottleneck"]])
-            h = TdnnLayer(TdnnSpec(1500, (0,)), name="tdnn5")(merged.x, train)
+            h = TdnnLayer(TdnnSpec(1500, (0,)), bn_momentum=bm, name="tdnn5")(merged.x, train)
             stream = Stream(h, merged.left, merged.right)
             pooled_mask = None
             if frame_mask is not None:
@@ -259,6 +274,8 @@ class CombinedCVector(nn.Module):
                 pooled_mask = frame_mask[:, ctx : ctx + stream.x.shape[1]]
             pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
             out.update(
-                SegmentHead(cfg.embed_dim, cfg.num_speakers, name="segment")(pooled, train)
+                SegmentHead(
+                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+                )(pooled, train)
             )
         return out

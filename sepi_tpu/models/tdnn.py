@@ -107,6 +107,11 @@ class TdnnLayer(nn.Module):
     """
 
     spec: TdnnSpec
+    # EMA decay for inference statistics.  Kaldi's BatchNormComponent
+    # accumulates *exact* dataset stats for test mode; an EMA with
+    # moderate decay converges to the same thing over a few hundred
+    # steps without a separate accumulation pass.
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, return_affine: bool = False):
@@ -122,7 +127,7 @@ class TdnnLayer(nn.Module):
         h = nn.relu(affine)
         h = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.97,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             use_scale=True,
             use_bias=False,  # Kaldi batchnorm-component has no affine part
@@ -138,12 +143,15 @@ class TdnnStack(nn.Module):
 
     specs: Tuple[TdnnSpec, ...]
     name_prefix: str = "tdnn"
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, stream: Stream, train: bool = False) -> Stream:
         x, left, right = stream.x, stream.left, stream.right
         for i, spec in enumerate(self.specs):
-            x = TdnnLayer(spec, name=f"{self.name_prefix}{i + 1}")(x, train)
+            x = TdnnLayer(
+                spec, bn_momentum=self.bn_momentum, name=f"{self.name_prefix}{i + 1}"
+            )(x, train)
             left += spec.left
             right += spec.right
         return Stream(x, left, right)
@@ -183,15 +191,16 @@ class SegmentHead(nn.Module):
 
     embed_dim: int = 512
     num_classes: int = 0  # 0 = headless (extraction-only)
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
-        h, emb_a = TdnnLayer(TdnnSpec(self.embed_dim), name="tdnn6")(
-            pooled[:, None, :], train, return_affine=True
-        )
-        h, emb_b = TdnnLayer(TdnnSpec(self.embed_dim), name="tdnn7")(
-            h, train, return_affine=True
-        )
+        h, emb_a = TdnnLayer(
+            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum, name="tdnn6"
+        )(pooled[:, None, :], train, return_affine=True)
+        h, emb_b = TdnnLayer(
+            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum, name="tdnn7"
+        )(h, train, return_affine=True)
         out = {"embedding_a": emb_a[:, 0, :], "embedding_b": emb_b[:, 0, :]}
         if self.num_classes:
             logits = nn.Dense(self.num_classes, name="output")(h[:, 0, :])

@@ -48,6 +48,7 @@ V2_XVECTOR = XVectorConfig()
 
 class XVector(nn.Module):
     cfg: XVectorConfig
+    bn_momentum: float = 0.95
 
     @nn.compact
     def __call__(
@@ -56,9 +57,9 @@ class XVector(nn.Module):
         frame_mask: Optional[jnp.ndarray] = None,  # (B, T) over *input* frames
         train: bool = False,
     ):
-        stream = TdnnStack(self.cfg.frame_specs, name="frames")(
-            Stream(feats, 0, 0), train
-        )
+        stream = TdnnStack(
+            self.cfg.frame_specs, bn_momentum=self.bn_momentum, name="frames"
+        )(Stream(feats, 0, 0), train)
         pooled_mask = None
         if frame_mask is not None:
             # Trunk output frame t consumes input frames [t, t+left+right],
@@ -67,6 +68,9 @@ class XVector(nn.Module):
             ctx = stream.left + stream.right
             pooled_mask = frame_mask[:, ctx : ctx + t_out]
         pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
-        return SegmentHead(self.cfg.embed_dim, self.cfg.num_speakers, name="segment")(
-            pooled, train
-        )
+        return SegmentHead(
+            self.cfg.embed_dim,
+            self.cfg.num_speakers,
+            bn_momentum=self.bn_momentum,
+            name="segment",
+        )(pooled, train)

@@ -1,0 +1,181 @@
+"""Composable pipeline stages — the recipe substrate for v1-v5 drivers.
+
+Each function is one stage of the reference's run scripts, as a pure
+function over manifests + arrays (the SURVEY.md §7 design translation:
+"every stage a pure function dataset -> dataset with durable artifacts"):
+
+  prepare_features_nosil  = make_mfcc + compute_vad + prepare_feats_for_egs
+                            (MFCC -> energy VAD -> sliding CMVN -> strip
+                            silence; `v2/run_sre10.sh:80-165`)
+  train_xvector_model     = run_xvector_new.sh stages 4-6 (egs + train)
+  extract_and_score       = extract_xvectors_new.sh (chunked forward +
+                            speaker means)
+  backend_eval            = mean/LDA/PLDA/scoring/EER
+                            (`v2/run_sre10.sh:221-334`)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..backend import compute_lda, length_normalize, subtract_global_mean, train_plda
+from ..backend.plda import Plda, score_trials
+from ..config import (
+    BackendConfig,
+    ChunkConfig,
+    CmvnConfig,
+    ExtractConfig,
+    FrontendConfig,
+    OptimizerConfig,
+    TrainConfig,
+    VadConfig,
+)
+from ..data.manifest import Dataset, Trial
+from ..data.sampler import ChunkSampler
+from ..extract import EmbeddingExtractor, speaker_mean
+from ..metrics import EvalResult, evaluate_scores
+from ..metrics.det import split_scores_by_trials
+from ..models import XVector, XVectorConfig
+from ..ops import FeatureExtractor, energy_vad, select_voiced_frames, sliding_cmvn
+from ..train import (
+    Trainer,
+    build_optimizer,
+    create_train_state,
+    finalize_batch_stats,
+)
+from ..train.trainer import make_xvec_step
+
+
+def prepare_features_nosil(
+    audio: Mapping[str, np.ndarray],
+    frontend: FrontendConfig = FrontendConfig(dither=0.0),
+    vad: VadConfig = VadConfig(),
+    cmvn: CmvnConfig = CmvnConfig(),
+    key: Optional[jax.Array] = None,
+) -> Dict[str, np.ndarray]:
+    """MFCC -> VAD -> sliding CMVN -> voiced-frame compaction, per utt.
+
+    Returns utt_id -> (T_voiced, num_ceps) float32 — the `_nosil` features
+    every neural recipe trains/extracts on."""
+    fe = FeatureExtractor(frontend)
+    out: Dict[str, np.ndarray] = {}
+    for utt_id, samples in audio.items():
+        feats, mask = fe.mfcc(samples, np.array(len(samples)), key=key)
+        voiced = energy_vad(feats[:, 0], mask, vad)
+        normed = sliding_cmvn(feats, mask, cmvn)
+        sel, sel_mask = select_voiced_frames(normed, voiced)
+        n = int(np.sum(np.asarray(sel_mask)))
+        if n:
+            out[utt_id] = np.asarray(sel)[:n]
+    return out
+
+
+def train_xvector_model(
+    features: Mapping[str, np.ndarray],
+    dataset: Dataset,
+    model_cfg: Optional[XVectorConfig] = None,
+    train_cfg: TrainConfig = TrainConfig(),
+    num_steps: int = 500,
+    mesh=None,
+    log=None,
+):
+    """Train a v2 x-vector on nosil features; returns (model, state, label_map)."""
+    feat_dim = next(iter(features.values())).shape[1]
+    label_map = dataset.speaker_label_map()
+    if model_cfg is None:
+        model_cfg = XVectorConfig(feat_dim=feat_dim, num_speakers=len(label_map))
+    model = XVector(model_cfg)
+    sampler = ChunkSampler(
+        features, dataset, train_cfg.chunks, train_cfg.batch_size, train_cfg.seed
+    )
+    tx, _ = build_optimizer(train_cfg.optimizer, num_steps)
+    probe = sampler.sample_batch(sampler.buckets[0])
+    state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)
+    step = make_xvec_step(model, tx, mesh=mesh)
+    trainer = Trainer(steps={"xvec": step}, state=state, log_every=50, logger=log)
+    state = trainer.run(iter(sampler), num_steps=num_steps)
+    calib = [sampler.sample_batch(l).feats for l in sampler.buckets[:3]]
+    state = finalize_batch_stats(model, state, calib)
+    return model, state, label_map
+
+
+def extract_and_score(
+    model,
+    state,
+    features: Mapping[str, np.ndarray],
+    extract_cfg: ExtractConfig = ExtractConfig(),
+    min_frames: int = 15,
+    model_kwargs: Optional[Dict] = None,
+) -> Dict[str, np.ndarray]:
+    """Chunked embedding extraction for all utterances."""
+    extractor = EmbeddingExtractor(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        extract_cfg,
+        min_frames=min_frames,
+        model_kwargs=model_kwargs,
+    )
+    return extractor.extract_utterances(features)
+
+
+def backend_eval(
+    utt_embeddings: Mapping[str, np.ndarray],
+    train_dataset: Dataset,
+    trials: Sequence[Trial],
+    enroll_spk2utt: Mapping[str, Sequence[str]],
+    backend_cfg: BackendConfig = BackendConfig(),
+    adapt_vectors: Optional[np.ndarray] = None,
+) -> Tuple[EvalResult, Dict]:
+    """mean -> LDA -> length-norm -> PLDA -> trial scoring -> EER/DCF.
+
+    ``train_dataset`` supplies the PLDA/LDA training population (its utts
+    must be in utt_embeddings); ``enroll_spk2utt`` defines enrollment
+    models (speaker -> utts).  Mirrors `v2/run_sre10.sh:221-334`.
+    """
+    train_ids = [u for u in train_dataset.utt_ids if u in utt_embeddings]
+    x_train = np.stack([utt_embeddings[u] for u in train_ids])
+    labels = [train_dataset[u].spk_id for u in train_ids]
+
+    centered, global_mean = subtract_global_mean(x_train)
+    lda_dim = min(backend_cfg.lda_dim, x_train.shape[1] - 1, len(set(labels)) - 1)
+    lda = compute_lda(centered, labels, lda_dim)
+
+    def project(vecs: np.ndarray) -> np.ndarray:
+        c = np.asarray(vecs, np.float64) - global_mean
+        p = lda(c + lda.mean)  # lda centers internally with its own mean
+        return length_normalize(p) if backend_cfg.length_norm else p
+
+    plda = train_plda(project(x_train), labels, backend_cfg.plda_iters)
+    if adapt_vectors is not None:
+        plda = dataclasses.replace(plda)  # copy
+        from ..backend import adapt_plda
+
+        plda = adapt_plda(
+            plda,
+            project(adapt_vectors),
+            backend_cfg.adapt_within_covar_scale,
+            backend_cfg.adapt_between_covar_scale,
+        )
+
+    enroll_vecs: Dict[str, np.ndarray] = {}
+    num_utts: Dict[str, int] = {}
+    for spk, utts in enroll_spk2utt.items():
+        vecs = [project(utt_embeddings[u][None])[0] for u in utts if u in utt_embeddings]
+        if vecs:
+            enroll_vecs[spk] = np.mean(vecs, axis=0)
+            num_utts[spk] = len(vecs)
+    test_vecs = {
+        t.test: project(utt_embeddings[t.test][None])[0]
+        for t in trials
+        if t.test in utt_embeddings
+    }
+    usable = [t for t in trials if t.model in enroll_vecs and t.test in test_vecs]
+    scores = score_trials(plda, enroll_vecs, test_vecs, usable, num_utts)
+    tgt, non = split_scores_by_trials(
+        scores, [(t.model, t.test, t.target) for t in usable]
+    )
+    return evaluate_scores(tgt, non), {"scores": scores, "plda": plda, "lda": lda}

@@ -1,0 +1,167 @@
+"""LDA/PLDA backend tests on synthetic Gaussian data with known params
+(SURVEY.md §4 test plan)."""
+
+import numpy as np
+import pytest
+
+from sepi_tpu.backend import (
+    adapt_plda,
+    compute_lda,
+    length_normalize,
+    linear_fusion,
+    plda_score_matrix,
+    subtract_global_mean,
+    train_plda,
+)
+from sepi_tpu.backend.plda import score_trials, _LOG_2PI
+from sepi_tpu.data.manifest import Trial
+from sepi_tpu.metrics import eer
+
+
+def _synth_plda_data(rng, num_spk=40, utts=10, dim=8, b_scale=4.0, w_scale=1.0):
+    """x = mu + y + e with diagonal-ish known covariances."""
+    mu = rng.normal(size=dim)
+    ys = rng.normal(size=(num_spk, dim)) * np.sqrt(b_scale)
+    x, labels = [], []
+    for k in range(num_spk):
+        e = rng.normal(size=(utts, dim)) * np.sqrt(w_scale)
+        x.append(mu + ys[k] + e)
+        labels += [k] * utts
+    return np.concatenate(x), labels, mu
+
+
+def test_vector_ops(rng):
+    v = rng.normal(size=(10, 6)) + 3.0
+    c, m = subtract_global_mean(v)
+    np.testing.assert_allclose(c.mean(axis=0), 0, atol=1e-12)
+    ln = length_normalize(v)
+    np.testing.assert_allclose(np.linalg.norm(ln, axis=1), np.sqrt(6), atol=1e-9)
+
+
+def test_lda_whitens_within_class(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=30, utts=40, dim=10)
+    lda = compute_lda(x, labels, lda_dim=5)
+    y = lda(x)
+    assert y.shape == (x.shape[0], 5)
+    # within-class covariance in projected space ~ identity
+    sw = np.zeros((5, 5))
+    for k in set(labels):
+        idx = [i for i, l in enumerate(labels) if l == k]
+        d = y[idx] - y[idx].mean(axis=0)
+        sw += d.T @ d
+    sw /= len(labels)
+    np.testing.assert_allclose(sw, np.eye(5), atol=0.15)
+
+
+def test_lda_improves_separation(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=25, utts=12, dim=12, b_scale=1.0)
+    # add nuisance high-variance dims
+    x = np.concatenate([x, rng.normal(size=(x.shape[0], 8)) * 10], axis=1)
+    lda = compute_lda(x, labels, lda_dim=6)
+    y = lda(x)
+    # projected class means should be farther apart relative to scatter
+    labs = np.array(labels)
+    means = np.stack([y[labs == k].mean(0) for k in sorted(set(labels))])
+    spread = np.var(means, axis=0).sum()
+    within = np.mean([np.var(y[labs == k], axis=0).sum() for k in set(labels)])
+    assert spread / within > 0.5
+
+
+def test_plda_recovers_structure(rng):
+    x, labels, mu = _synth_plda_data(rng, num_spk=60, utts=20, dim=6, b_scale=3.0)
+    plda = train_plda(x, labels, num_iters=15)
+    np.testing.assert_allclose(plda.mean, mu, atol=0.4)
+    # Individual eigenvalues scatter with only 60 speaker draws, but the
+    # average between/within ratio must recover b_scale/w_scale = 3.0.
+    assert plda.psi.shape == (6,)
+    assert np.mean(plda.psi) == pytest.approx(3.0, rel=0.15)
+    assert plda.psi.min() > 1.0 and plda.psi.max() < 6.0
+
+
+def _naive_llr(plda, u, v, n):
+    """Direct per-dim transcription of the two-cov LLR for one trial."""
+    ut = plda.preprocess(u[None])[0]
+    vt = plda.preprocess(v[None])[0]
+    tot = 0.0
+    for d in range(plda.dim):
+        psi = plda.psi[d]
+        m = n * psi / (n * psi + 1.0) * ut[d]
+        var_g = 1.0 + psi / (n * psi + 1.0)
+        var_n = 1.0 + psi
+        lg = -0.5 * (np.log(2 * np.pi * var_g) + (vt[d] - m) ** 2 / var_g)
+        ln_ = -0.5 * (np.log(2 * np.pi * var_n) + vt[d] ** 2 / var_n)
+        tot += lg - ln_
+    return tot
+
+
+def test_plda_score_matrix_matches_naive(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=20, utts=8, dim=5)
+    plda = train_plda(x, labels, num_iters=8)
+    enroll = rng.normal(size=(3, 5))
+    test = rng.normal(size=(4, 5))
+    n = np.array([1.0, 3.0, 8.0])
+    s = plda_score_matrix(plda, enroll, test, n)
+    for i in range(3):
+        for j in range(4):
+            assert s[i, j] == pytest.approx(
+                _naive_llr(plda, enroll[i], test[j], n[i]), rel=1e-9, abs=1e-9
+            )
+
+
+def test_plda_eer_on_separable_data(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=40, utts=10, dim=10, b_scale=5.0)
+    plda = train_plda(x, labels, num_iters=10)
+    # enroll = first 5 utts averaged; test = remaining utts
+    labs = np.array(labels)
+    tgt, non = [], []
+    spk_means = {}
+    for k in sorted(set(labels)):
+        xi = x[labs == k]
+        spk_means[k] = xi[:5].mean(axis=0)
+    for k in sorted(set(labels)):
+        tests = x[labs == k][5:]
+        for kk, m in spk_means.items():
+            s = plda_score_matrix(plda, m[None], tests, np.array([5.0]))[0]
+            (tgt if kk == k else non).extend(s.tolist())
+    assert eer(np.array(tgt), np.array(non)) < 0.05
+
+
+def test_plda_adaptation_shifts_model(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=30, utts=10, dim=6)
+    plda = train_plda(x, labels, num_iters=8)
+    # in-domain data with extra variance in one direction
+    shift_dir = rng.normal(size=6)
+    shift_dir /= np.linalg.norm(shift_dir)
+    adapt = rng.normal(size=(500, 6)) @ np.eye(6) + np.outer(
+        rng.normal(size=500) * 5.0, shift_dir
+    )
+    adapted = adapt_plda(plda, adapt)
+    # model total variance along shift_dir should increase
+    t_inv = np.linalg.inv(plda.transform)
+    before = shift_dir @ (t_inv @ (np.eye(6) + np.diag(plda.psi)) @ t_inv.T) @ shift_dir
+    t_inv2 = np.linalg.inv(adapted.transform)
+    after = shift_dir @ (t_inv2 @ (np.eye(6) + np.diag(adapted.psi)) @ t_inv2.T) @ shift_dir
+    assert after > before * 1.5
+
+
+def test_score_trials_join(rng):
+    x, labels, _ = _synth_plda_data(rng, num_spk=10, utts=6, dim=4)
+    plda = train_plda(x, labels, num_iters=5)
+    enroll = {"a": rng.normal(size=4), "b": rng.normal(size=4)}
+    test = {"t1": rng.normal(size=4), "t2": rng.normal(size=4)}
+    trials = [Trial("a", "t1", True), Trial("b", "t2", False)]
+    scores = score_trials(plda, enroll, test, trials, {"a": 2, "b": 1})
+    assert set(scores) == {("a", "t1"), ("b", "t2")}
+    direct = plda_score_matrix(
+        plda, np.stack([enroll["a"]]), np.stack([test["t1"]]), np.array([2.0])
+    )[0, 0]
+    assert scores[("a", "t1")] == pytest.approx(direct)
+
+
+def test_linear_fusion():
+    s1 = np.array([1.0, 2.0])
+    s2 = np.array([3.0, 4.0])
+    np.testing.assert_allclose(linear_fusion([s1, s2]), [2.0, 3.0])
+    np.testing.assert_allclose(linear_fusion([s1, s2], [1.0, 0.0]), s1)
+    with pytest.raises(ValueError):
+        linear_fusion([s1, np.array([1.0])])

@@ -1,0 +1,116 @@
+"""Miniature end-to-end recipe on the synthetic corpus (SURVEY.md §4):
+audio -> MFCC/VAD/CMVN/nosil -> chunk-sampled x-vector training ->
+chunked extraction -> mean/LDA/PLDA -> EER.
+
+This is the framework's integration test — the analog of running
+`egs/sre/v2/run_sre10.sh` on a 2-hour toy corpus.
+"""
+
+import numpy as np
+import pytest
+
+from sepi_tpu.config import ChunkConfig, ExtractConfig, OptimizerConfig, TrainConfig
+from sepi_tpu.data import make_synthetic_corpus
+from sepi_tpu.models import XVectorConfig
+from sepi_tpu.models.tdnn import TdnnSpec
+from sepi_tpu.recipes import (
+    backend_eval,
+    extract_and_score,
+    prepare_features_nosil,
+    train_xvector_model,
+)
+
+TINY_SPECS = (
+    TdnnSpec(32, (-2, -1, 0, 1, 2)),
+    TdnnSpec(32, (-2, 0, 2)),
+    TdnnSpec(32, (-3, 0, 3)),
+    TdnnSpec(32, (0,)),
+    TdnnSpec(96, (0,)),
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_synthetic_corpus(
+        num_speakers=8, utts_per_speaker=6, duration_sec=4.0, seed=11
+    )
+
+
+@pytest.fixture(scope="module")
+def nosil(corpus):
+    return prepare_features_nosil(corpus.audio)
+
+
+def test_feature_prep_shapes(corpus, nosil):
+    assert set(nosil) == set(corpus.dataset.utt_ids)
+    f = next(iter(nosil.values()))
+    assert f.ndim == 2 and f.shape[1] == 23
+    # silence stripping removed some frames
+    total = sum(v.shape[0] for v in nosil.values())
+    assert 0 < total
+
+
+def test_mini_v2_recipe(corpus, nosil):
+    # NB: proportional_shrink is calibrated for the reference's 1e-3 LR
+    # (1% decay/step); at this test's accelerated LR it must scale down.
+    train_cfg = TrainConfig(
+        optimizer=OptimizerConfig(
+            initial_lr=0.02, final_lr=0.004, proportional_shrink=0.5
+        ),
+        chunks=ChunkConfig(min_chunk_len=50, max_chunk_len=120, num_buckets=3),
+        batch_size=32,
+    )
+    model_cfg = XVectorConfig(
+        feat_dim=23, num_speakers=8, frame_specs=TINY_SPECS, embed_dim=48
+    )
+    model, state, label_map = train_xvector_model(
+        nosil, corpus.dataset, model_cfg, train_cfg, num_steps=150
+    )
+    # training accuracy should be far above chance (1/8)
+    last = state  # metrics checked via extraction quality below
+
+    embs = extract_and_score(
+        model,
+        state,
+        nosil,
+        ExtractConfig(min_chunk_size=25, chunk_size=400, batch_size=16),
+        min_frames=model_cfg.min_frames,
+    )
+    assert set(embs) == set(nosil)
+    assert next(iter(embs.values())).shape == (48,)
+
+    # enroll on first utt per speaker (the synthetic trial design)
+    spk2utt = corpus.dataset.spk2utt
+    enroll = {s: us[:1] for s, us in spk2utt.items()}
+    result, artifacts = backend_eval(embs, corpus.dataset, corpus.trials, enroll)
+    # a trained x-vector separates synthetic speakers nearly perfectly
+    assert result.eer < 0.10, f"EER {result.eer:.3f} too high"
+    assert result.num_target > 0 and result.num_nontarget > 0
+
+
+def test_extraction_chunking_consistency(corpus, nosil):
+    """Chunked vs whole-utterance extraction agree on medium utterances."""
+    from sepi_tpu.models import XVector
+
+    model_cfg = XVectorConfig(
+        feat_dim=23, num_speakers=8, frame_specs=TINY_SPECS, embed_dim=48
+    )
+    train_cfg = TrainConfig(
+        chunks=ChunkConfig(min_chunk_len=50, max_chunk_len=100, num_buckets=2),
+        batch_size=16,
+    )
+    model, state, _ = train_xvector_model(
+        nosil, corpus.dataset, model_cfg, train_cfg, num_steps=20
+    )
+    utt = next(iter(nosil))
+    one = {utt: nosil[utt]}
+    whole = extract_and_score(
+        model, state, one, ExtractConfig(chunk_size=10000), model_cfg.min_frames
+    )[utt]
+    chunked = extract_and_score(
+        model, state, one, ExtractConfig(chunk_size=120), model_cfg.min_frames
+    )[utt]
+    # chunked averaging is not identical to whole-utterance pooling, but
+    # must be close for stationary input (cosine > 0.98)
+    cos = np.dot(whole, chunked) / (np.linalg.norm(whole) * np.linalg.norm(chunked))
+    assert cos > 0.98

@@ -1,0 +1,198 @@
+"""Trainer/optimizer tests: schedules, clipping, shrinkage, learning, DP."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sepi_tpu.config import OptimizerConfig
+from sepi_tpu.data.sampler import ChunkBatch
+from sepi_tpu.models import XVector, XVectorConfig
+from sepi_tpu.parallel import make_mesh
+from sepi_tpu.train import (
+    Trainer,
+    build_optimizer,
+    combine_checkpoints,
+    create_train_state,
+    dropout_schedule,
+    finalize_batch_stats,
+    load_checkpoint,
+    lr_schedule,
+    save_checkpoint,
+)
+from sepi_tpu.train.optim import check_shrink_guard, subtree_lr_factors
+from sepi_tpu.train.trainer import make_eval_step, make_xvec_step
+
+CFG = XVectorConfig(
+    feat_dim=8,
+    num_speakers=4,
+    frame_specs=(
+        # tiny net for fast tests, same structural elements as v2
+        *(XVectorConfig().frame_specs[:3]),
+    ),
+    embed_dim=32,
+)
+# shrink dims
+import dataclasses
+
+from sepi_tpu.models.tdnn import TdnnSpec
+
+CFG = dataclasses.replace(
+    CFG,
+    frame_specs=(
+        TdnnSpec(16, (-2, -1, 0, 1, 2)),
+        TdnnSpec(16, (-2, 0, 2)),
+        TdnnSpec(48, (0,)),
+    ),
+)
+
+
+def _separable_batch(rng, n=32, t=30, d=8, num_spk=4):
+    labels = rng.integers(0, num_spk, size=n).astype(np.int32)
+    centers = np.eye(num_spk, d) * 3.0
+    feats = (
+        rng.normal(size=(n, t, d)) * 0.3 + centers[labels][:, None, :]
+    ).astype(np.float32)
+    return feats, labels
+
+
+def test_lr_schedule_endpoints():
+    cfg = OptimizerConfig(initial_lr=1e-3, final_lr=1e-4)
+    s = lr_schedule(cfg, total_steps=100)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(1e-4)
+    assert float(s(200)) == pytest.approx(1e-4)  # clamped past end
+    s2 = lr_schedule(cfg, 100, num_jobs_multiplier=4.0)
+    assert float(s2(0)) == pytest.approx(4e-3)
+
+
+def test_dropout_schedule_parse():
+    r = dropout_schedule("0,0@0.20,0.1@0.50,0")
+    assert r(0.0) == 0.0 and r(0.1) == 0.0 and r(0.2) == 0.0
+    assert r(0.35) == pytest.approx(0.05)
+    assert r(0.5) == pytest.approx(0.1)
+    assert r(0.75) == pytest.approx(0.05)
+    assert r(1.0) == 0.0
+
+
+def test_shrink_guard():
+    cfg = OptimizerConfig(proportional_shrink=10.0)
+    check_shrink_guard(cfg, 0.01)  # factor 0.9, fine
+    with pytest.raises(ValueError):
+        check_shrink_guard(cfg, 0.06)  # factor 0.4 <= 0.5
+
+
+def test_max_param_change_clips():
+    cfg = OptimizerConfig(max_param_change=0.1, momentum=0.0, proportional_shrink=0.0)
+    tx, _ = build_optimizer(cfg, total_steps=10)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    big_grads = {"w": jnp.full((4,), 1e6)}
+    updates, _ = tx.update(big_grads, state, params)
+    assert float(optax.global_norm(updates)) <= 0.1 + 1e-6
+
+
+def test_subtree_lr_factor_scales_only_prefix():
+    params = {"am": {"w": jnp.ones(3)}, "seg": {"w": jnp.ones(3)}}
+    tx = subtree_lr_factors(params, {"am": 0.25})
+    updates, _ = tx.update(params, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["am"]["w"]), 0.25)
+    np.testing.assert_allclose(np.asarray(updates["seg"]["w"]), 1.0)
+
+
+def _make_setup(rng, mesh=None, total_steps=60):
+    model = XVector(CFG)
+    opt_cfg = OptimizerConfig(initial_lr=0.05, final_lr=0.01, proportional_shrink=1.0)
+    tx, _ = build_optimizer(opt_cfg, total_steps)
+    feats, labels = _separable_batch(rng)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), feats[:2])
+    step = make_xvec_step(model, tx, mesh=mesh)
+    return model, tx, state, step, feats, labels
+
+
+def test_training_learns(rng):
+    model, tx, state, step, feats, labels = _make_setup(rng)
+    w = jnp.float32(1.0)
+    state, m0 = step(state, feats, labels, w)
+    for _ in range(40):
+        state, m = step(state, feats, labels, w)
+    assert float(m["objf"]) > float(m0["objf"]) + 0.5
+    assert float(m["accuracy"]) > 0.9
+
+
+def test_trainer_loop_and_eval(rng):
+    model, tx, state, step, feats, labels = _make_setup(rng)
+    batches = [ChunkBatch(feats, labels, feats.shape[1], "xvec")] * 40
+    tr = Trainer(steps={"xvec": step}, state=state, log_every=20)
+    tr.run(iter(batches), num_steps=40)
+    # Kaldi-style exact BN stats before inference (EMA alone is biased
+    # after so few steps; see finalize_batch_stats docstring).
+    final = finalize_batch_stats(model, tr.state, [feats, feats])
+    ev = make_eval_step(model)
+    metrics = ev(final, feats, labels)
+    assert float(metrics["accuracy"]) > 0.9
+    assert len(tr.history) == 2
+
+
+def test_data_parallel_matches_single_device(rng):
+    """The gradient-psum DP step must agree with single-device training.
+
+    GSPMD is semantics-preserving but not bitwise: sharded reductions
+    reassociate f32 sums, so agreement is to roundoff at step 1 and the
+    difference grows with training dynamics.  We assert (a) tight
+    agreement after one step, (b) both runs learn to high accuracy.
+    """
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    assert mesh.devices.size == 8
+    model, tx, state0, step_dp, feats, labels = _make_setup(rng, mesh=mesh)
+    _, _, _, step_1, _, _ = _make_setup(rng, mesh=None)
+
+    state_a = jax.tree.map(lambda x: x.copy(), state0)
+    state_b = jax.tree.map(lambda x: x.copy(), state0)
+    w = jnp.float32(1.0)
+    state_a, ma = step_dp(state_a, feats, labels, w)
+    state_b, mb = step_1(state_b, feats, labels, w)
+    assert float(ma["objf"]) == pytest.approx(float(mb["objf"]), abs=5e-4)
+    la = state_a.params["segment"]["tdnn6"]["affine"]["kernel"]
+    lb = state_b.params["segment"]["tdnn6"]["affine"]["kernel"]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-3)
+    for _ in range(40):
+        state_a, ma = step_dp(state_a, feats, labels, w)
+        state_b, mb = step_1(state_b, feats, labels, w)
+    assert float(ma["accuracy"]) > 0.9 and float(mb["accuracy"]) > 0.9
+
+
+def test_checkpoint_roundtrip_and_combine(rng):
+    model, tx, state, step, feats, labels = _make_setup(rng)
+    w = jnp.float32(1.0)
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(6):
+            state, _ = step(state, feats, labels, w)
+            save_checkpoint(state, d, i, keep_every=2)
+        restored = load_checkpoint(state, d, 5)
+        np.testing.assert_allclose(
+            np.asarray(restored.params["segment"]["tdnn6"]["affine"]["kernel"]),
+            np.asarray(state.params["segment"]["tdnn6"]["affine"]["kernel"]),
+        )
+        ev = make_eval_step(model)
+        best, objf = combine_checkpoints(
+            state, d, lambda s: float(ev(s, feats, labels)["objf"]), num_tail=4
+        )
+        assert objf >= float(ev(load_checkpoint(state, d, 5), feats, labels)["objf"]) - 1e-6
+
+
+def test_checkpoint_pruning(rng):
+    model, tx, state, step, feats, labels = _make_setup(rng)
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(30):
+            save_checkpoint(state, d, i, keep_every=10, max_keep=5)
+        names = sorted(os.listdir(d))
+        # every-10th preserved + last 5 kept
+        kept = {int(n.split("_")[1].split(".")[0]) for n in names}
+        assert {0, 10, 20} <= kept
+        assert {25, 26, 27, 28, 29} <= kept
+        assert 13 not in kept
