@@ -159,15 +159,18 @@ class FrameSampler:
         chunk_len: int = 8,
         batch_size: int = 256,
         seed: int = 123,
-        context: int = 0,
+        context: Tuple[int, int] = (0, 0),
     ):
         self.chunk_len = chunk_len
         self.batch_size = batch_size
-        self.context = context
+        if isinstance(context, int):
+            context = (context, context)
+        self.context = context  # (left, right) model context
         self.rng = np.random.default_rng(seed)
         self._rows: List[Tuple[str, int]] = []
         self._features = features
         self._ali = {}
+        min_len = chunk_len + context[0] + context[1]
         for utt, f in features.items():
             if utt not in alignments:
                 continue
@@ -177,7 +180,7 @@ class FrameSampler:
                     f"{utt}: alignment length {len(a)} != num frames {f.shape[0]}"
                     " (select-voiced-ali invariant violated)"
                 )
-            if f.shape[0] >= chunk_len + 2 * context:
+            if f.shape[0] >= min_len:
                 self._rows.append((utt, f.shape[0]))
                 self._ali[utt] = a
         if not self._rows:
@@ -188,7 +191,8 @@ class FrameSampler:
         self._probs = np.array([n / tot for _, n in self._rows])
 
     def sample_batch(self) -> FrameBatch:
-        l = self.chunk_len + 2 * self.context
+        lc, rc = self.context
+        l = self.chunk_len + lc + rc
         feats = np.zeros((self.batch_size, l, self.feat_dim), np.float32)
         labels = np.zeros((self.batch_size, self.chunk_len), np.int32)
         mask = np.ones((self.batch_size, self.chunk_len), bool)
@@ -197,7 +201,7 @@ class FrameSampler:
             utt, n = self._rows[int(i)]
             off = int(self.rng.integers(n - l + 1))
             feats[b] = self._features[utt][off : off + l]
-            labels[b] = self._ali[utt][off + self.context : off + self.context + self.chunk_len]
+            labels[b] = self._ali[utt][off + lc : off + lc + self.chunk_len]
         return FrameBatch(feats, labels, mask)
 
     def __iter__(self) -> Iterator[FrameBatch]:

@@ -88,23 +88,26 @@ class AmNet(nn.Module):
 
 # ------------------------------------------------------ shared/branch specs
 
-_PREFIX = (
-    TdnnSpec(512, (-2, -1, 0, 1, 2)),
-    TdnnSpec(512, (-2, 0, 2)),
-    TdnnSpec(512, (-3, 0, 3)),
-    TdnnSpec(512, (0,)),
-)
+
+def _prefix(dim: int) -> Tuple[TdnnSpec, ...]:
+    """tdnn1..4 splice pattern shared by every branch (reference dims=512)."""
+    return (
+        TdnnSpec(dim, (-2, -1, 0, 1, 2)),
+        TdnnSpec(dim, (-2, 0, 2)),
+        TdnnSpec(dim, (-3, 0, 3)),
+        TdnnSpec(dim, (0,)),
+    )
 
 
-def _xvec_branch(num_shared: int) -> Tuple[TdnnSpec, ...]:
-    return _PREFIX[num_shared:4] + (TdnnSpec(1500, (0,)),)
+def _xvec_branch(num_shared: int, dim: int = 512, pool_dim: int = 1500) -> Tuple[TdnnSpec, ...]:
+    return _prefix(dim)[num_shared:4] + (TdnnSpec(pool_dim, (0,)),)
 
 
-def _am_branch(num_shared: int) -> Tuple[TdnnSpec, ...]:
-    return _PREFIX[num_shared:4] + (
-        TdnnSpec(512, (0,)),
-        TdnnSpec(512, (0,)),
-        TdnnSpec(512, (0,)),
+def _am_branch(num_shared: int, dim: int = 512) -> Tuple[TdnnSpec, ...]:
+    return _prefix(dim)[num_shared:4] + (
+        TdnnSpec(dim, (0,)),
+        TdnnSpec(dim, (0,)),
+        TdnnSpec(dim, (0,)),
     )
 
 
@@ -118,18 +121,25 @@ class MultitaskConfig:
     num_senones: int = 4000
     num_shared: int = 1  # 1..4 (_2share/_3share/_4share variants)
     embed_dim: int = 512
+    hidden_dim: int = 512
+    pool_dim: int = 1500
 
     @property
     def shared_specs(self) -> Tuple[TdnnSpec, ...]:
-        return _PREFIX[: self.num_shared]
+        return _prefix(self.hidden_dim)[: self.num_shared]
 
     @property
     def xvec_context(self) -> Tuple[int, int]:
-        return stack_context(self.shared_specs + _xvec_branch(self.num_shared))
+        return stack_context(
+            self.shared_specs
+            + _xvec_branch(self.num_shared, self.hidden_dim, self.pool_dim)
+        )
 
     @property
     def am_context(self) -> Tuple[int, int]:
-        return stack_context(self.shared_specs + _am_branch(self.num_shared))
+        return stack_context(
+            self.shared_specs + _am_branch(self.num_shared, self.hidden_dim)
+        )
 
 
 V3_MULTITASK = MultitaskConfig()
@@ -153,11 +163,17 @@ class MultitaskCVector(nn.Module):
         )
         out = {}
         if task in ("am", "both"):
-            am = TdnnStack(_am_branch(cfg.num_shared), bn_momentum=bm, name="am_branch")(shared, train)
+            am = TdnnStack(
+                _am_branch(cfg.num_shared, cfg.hidden_dim), bn_momentum=bm, name="am_branch"
+            )(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am.x)
             out["am_context"] = (am.left, am.right)
         if task in ("xvec", "both"):
-            xv = TdnnStack(_xvec_branch(cfg.num_shared), bn_momentum=bm, name="xvec_branch")(shared, train)
+            xv = TdnnStack(
+                _xvec_branch(cfg.num_shared, cfg.hidden_dim, cfg.pool_dim),
+                bn_momentum=bm,
+                name="xvec_branch",
+            )(shared, train)
             pooled_mask = None
             if frame_mask is not None:
                 ctx = xv.left + xv.right
@@ -180,13 +196,14 @@ class AdaptedConfig:
     num_speakers: int = 0
     am: AmConfig = AM_BOTTLENECK
     embed_dim: int = 512
+    hidden_dim: int = 512
+    pool_dim: int = 1500
 
     @property
     def context(self) -> Tuple[int, int]:
-        xl, xr = stack_context(_PREFIX[:4])
+        xl, xr = stack_context(_prefix(self.hidden_dim)[:4])
         al, ar = self.am.context
-        l5 = TdnnSpec(1500, (0,))
-        return max(xl, al) + l5.left, max(xr, ar) + l5.right  # (13, 7)
+        return max(xl, al), max(xr, ar)  # (13, 7)
 
 
 V4_ADAPTED = AdaptedConfig()
@@ -208,9 +225,13 @@ class AdaptedXVector(nn.Module):
         cfg = self.cfg
         bm = self.bn_momentum
         am = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
-        xv = TdnnStack(_PREFIX[:4], bn_momentum=bm, name="xvec_branch")(Stream(feats, 0, 0), train)
+        xv = TdnnStack(
+            _prefix(cfg.hidden_dim)[:4], bn_momentum=bm, name="xvec_branch"
+        )(Stream(feats, 0, 0), train)
         merged = append_streams([xv, am["bottleneck"]])
-        h = TdnnLayer(TdnnSpec(1500, (0,)), bn_momentum=bm, name="tdnn5")(merged.x, train)
+        h = TdnnLayer(
+            TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, name="tdnn5"
+        )(merged.x, train)
         stream = Stream(h, merged.left, merged.right)
         pooled_mask = None
         if frame_mask is not None:
@@ -232,6 +253,8 @@ class CombinedConfig:
     num_senones: int = 4000
     am: AmConfig = AM_BOTTLENECK  # the *pretrained* bottleneck provider
     embed_dim: int = 512
+    hidden_dim: int = 512
+    pool_dim: int = 1500
 
 
 V5_COMBINED = CombinedConfig()
@@ -256,17 +279,27 @@ class CombinedCVector(nn.Module):
                  task: str = "both"):
         cfg = self.cfg
         bm = self.bn_momentum
-        shared = TdnnStack(_PREFIX[:1], bn_momentum=bm, name="shared")(Stream(feats, 0, 0), train)
+        shared = TdnnStack(
+            _prefix(cfg.hidden_dim)[:1], bn_momentum=bm, name="shared"
+        )(Stream(feats, 0, 0), train)
         out = {}
         if task in ("am", "both"):
-            am_b = TdnnStack(_am_branch(1), bn_momentum=bm, name="am_branch")(shared, train)
+            am_b = TdnnStack(
+                _am_branch(1, cfg.hidden_dim), bn_momentum=bm, name="am_branch"
+            )(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am_b.x)
             out["am_context"] = (am_b.left, am_b.right)
         if task in ("xvec", "both"):
             pre = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
-            xv = TdnnStack(_xvec_branch(1)[:-1], bn_momentum=bm, name="xvec_branch")(shared, train)
+            xv = TdnnStack(
+                _xvec_branch(1, cfg.hidden_dim, cfg.pool_dim)[:-1],
+                bn_momentum=bm,
+                name="xvec_branch",
+            )(shared, train)
             merged = append_streams([xv, pre["bottleneck"]])
-            h = TdnnLayer(TdnnSpec(1500, (0,)), bn_momentum=bm, name="tdnn5")(merged.x, train)
+            h = TdnnLayer(
+                TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, name="tdnn5"
+            )(merged.x, train)
             stream = Stream(h, merged.left, merged.right)
             pooled_mask = None
             if frame_mask is not None:

@@ -58,7 +58,14 @@ def graft_subtree(target_variables: Any, source_variables: Any, subtree: str) ->
                     f"target {tgt_shapes[k]} vs source {src_shapes[k]}"
                 )
         new_col = dict(target_col)
-        new_col[subtree] = jax.tree.map(lambda x: x, _select(src_sub, tgt_shapes))
+        # Deep-copy the grafted leaves: the training step donates its
+        # state buffers, and sharing them with the pretrained model's
+        # pytree would delete the source arrays on the first step.
+        import jax.numpy as jnp
+
+        new_col[subtree] = jax.tree.map(
+            lambda x: jnp.array(x, copy=True), _select(src_sub, tgt_shapes)
+        )
         out[col] = new_col
     return out
 
