@@ -1,0 +1,293 @@
+// Kaldi-compatible binary ark/scp table I/O.
+//
+// Replaces the reference's serialization substrate (SURVEY.md §2.2
+// "Serialization": ark/scp table I/O with binary matrices, compressed
+// feature matrices, int-vectors) so existing Kaldi artifacts (feats.scp,
+// vad.scp, ali archives, ivector arks) interoperate with the TPU
+// framework, and features/embeddings written here can be consumed by
+// Kaldi tooling.
+//
+// Formats implemented (matching kaldi/src/matrix + base/io-funcs):
+//   read : "FM" float matrix, "DM" double matrix, "CM" compressed matrix
+//          (format 1, uint8 per element), "FV"/"DV" float/double vector,
+//          bare binary int32 vectors (alignments, VAD as int vector)
+//   write: "FM" float matrix, "FV" float vector, int32 vectors
+//
+// Each ark entry is:  <key> ' ' '\0' 'B' <object>
+// scp lines are:      <key> ' ' <ark_path> ':' <byte_offset>
+// where offset points at the '\0' of the binary marker.
+//
+// Exposed as a C ABI for ctypes (sepi_tpu/utils/kaldi_io.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+bool read_exact(FILE* f, void* p, size_t n) { return fread(p, 1, n, f) == n; }
+
+// Kaldi WriteBasicType<int32>: size byte (4) then raw little-endian int32.
+bool read_basic_int32(FILE* f, int32_t* out) {
+  char sz;
+  if (!read_exact(f, &sz, 1) || sz != 4) return false;
+  return read_exact(f, out, 4);
+}
+
+void write_basic_int32(FILE* f, int32_t v) {
+  char sz = 4;
+  fwrite(&sz, 1, 1, f);
+  fwrite(&v, 4, 1, f);
+}
+
+// Kaldi ReadToken: up to the next space.
+bool read_token(FILE* f, std::string* tok) {
+  tok->clear();
+  int c;
+  while ((c = fgetc(f)) != EOF && c != ' ') tok->push_back((char)c);
+  return c == ' ' && !tok->empty();
+}
+
+bool expect_binary_marker(FILE* f) {
+  char m[2];
+  if (!read_exact(f, m, 2)) return false;
+  return m[0] == '\0' && m[1] == 'B';
+}
+
+// CompressedMatrix format 1 helpers (kaldi CharToFloat).
+struct CmGlobalHeader {
+  float min_value;
+  float range;
+  int32_t num_rows;
+  int32_t num_cols;
+};
+struct CmPerColHeader {
+  uint16_t p0, p25, p75, p100;
+};
+
+inline float cm_uint16_to_float(const CmGlobalHeader& h, uint16_t v) {
+  return h.min_value + h.range * 1.52590218966964e-05f * v;  // range/65535
+}
+
+inline float cm_char_to_float(float p0, float p25, float p75, float p100,
+                              uint8_t value) {
+  if (value <= 64)
+    return p0 + (p25 - p0) * value * (1 / 64.0f);
+  else if (value <= 192)
+    return p25 + (p75 - p25) * (value - 64) * (1 / 128.0f);
+  else
+    return p75 + (p100 - p75) * (value - 192) * (1 / 63.0f);
+}
+
+}  // namespace
+
+extern "C" {
+
+void ki_free(void* p) { free(p); }
+
+// Returns 0 on success.  *out is malloc'd rows*cols floats (row-major).
+int ki_read_matrix(const char* path, long offset, int32_t* rows,
+                   int32_t* cols, float** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  int rc = 2;
+  std::string tok;
+  *out = nullptr;
+  do {
+    if (fseek(f, offset, SEEK_SET) != 0) break;
+    if (!expect_binary_marker(f)) break;
+    if (!read_token(f, &tok)) break;
+    if (tok == "FM" || tok == "DM") {
+      int32_t r, c;
+      if (!read_basic_int32(f, &r) || !read_basic_int32(f, &c)) break;
+      if (r < 0 || c < 0 || (int64_t)r * c > (int64_t)1 << 31) break;
+      float* data = (float*)malloc(sizeof(float) * (size_t)r * c);
+      if (!data) break;
+      if (tok == "FM") {
+        if (!read_exact(f, data, sizeof(float) * (size_t)r * c)) {
+          free(data);
+          break;
+        }
+      } else {
+        std::vector<double> tmp((size_t)r * c);
+        if (!read_exact(f, tmp.data(), sizeof(double) * tmp.size())) {
+          free(data);
+          break;
+        }
+        for (size_t i = 0; i < tmp.size(); i++) data[i] = (float)tmp[i];
+      }
+      *rows = r;
+      *cols = c;
+      *out = data;
+      rc = 0;
+    } else if (tok == "CM") {
+      CmGlobalHeader h;
+      if (!read_exact(f, &h, sizeof(h))) break;
+      if (h.num_rows < 0 || h.num_cols < 0) break;
+      std::vector<CmPerColHeader> colh(h.num_cols);
+      if (!read_exact(f, colh.data(), sizeof(CmPerColHeader) * h.num_cols))
+        break;
+      std::vector<uint8_t> bytes((size_t)h.num_rows * h.num_cols);
+      if (!read_exact(f, bytes.data(), bytes.size())) break;
+      float* data = (float*)malloc(sizeof(float) * bytes.size());
+      if (!data) break;
+      // data stored column-major (all rows of col 0, then col 1, ...)
+      for (int32_t c = 0; c < h.num_cols; c++) {
+        float p0 = cm_uint16_to_float(h, colh[c].p0);
+        float p25 = cm_uint16_to_float(h, colh[c].p25);
+        float p75 = cm_uint16_to_float(h, colh[c].p75);
+        float p100 = cm_uint16_to_float(h, colh[c].p100);
+        const uint8_t* colp = &bytes[(size_t)c * h.num_rows];
+        for (int32_t r = 0; r < h.num_rows; r++)
+          data[(size_t)r * h.num_cols + c] =
+              cm_char_to_float(p0, p25, p75, p100, colp[r]);
+      }
+      *rows = h.num_rows;
+      *cols = h.num_cols;
+      *out = data;
+      rc = 0;
+    }
+  } while (0);
+  fclose(f);
+  return rc;
+}
+
+// Float/double vector ("FV"/"DV").  *out is malloc'd n floats.
+int ki_read_vector(const char* path, long offset, int32_t* n, float** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  int rc = 2;
+  std::string tok;
+  *out = nullptr;
+  do {
+    if (fseek(f, offset, SEEK_SET) != 0) break;
+    if (!expect_binary_marker(f)) break;
+    if (!read_token(f, &tok)) break;
+    if (tok != "FV" && tok != "DV") break;
+    int32_t dim;
+    if (!read_basic_int32(f, &dim) || dim < 0) break;
+    float* data = (float*)malloc(sizeof(float) * (size_t)dim);
+    if (!data) break;
+    if (tok == "FV") {
+      if (!read_exact(f, data, sizeof(float) * (size_t)dim)) {
+        free(data);
+        break;
+      }
+    } else {
+      std::vector<double> tmp(dim);
+      if (!read_exact(f, tmp.data(), sizeof(double) * dim)) {
+        free(data);
+        break;
+      }
+      for (int32_t i = 0; i < dim; i++) data[i] = (float)tmp[i];
+    }
+    *n = dim;
+    *out = data;
+    rc = 0;
+  } while (0);
+  fclose(f);
+  return rc;
+}
+
+// Kaldi WriteIntegerVector format: size byte (4), int32 count, raw data.
+int ki_read_int_vector(const char* path, long offset, int32_t* n,
+                       int32_t** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  int rc = 2;
+  *out = nullptr;
+  do {
+    if (fseek(f, offset, SEEK_SET) != 0) break;
+    if (!expect_binary_marker(f)) break;
+    int32_t count;
+    if (!read_basic_int32(f, &count) || count < 0) break;
+    int32_t* data = (int32_t*)malloc(sizeof(int32_t) * (size_t)count);
+    if (!data) break;
+    if (count && !read_exact(f, data, sizeof(int32_t) * (size_t)count)) {
+      free(data);
+      break;
+    }
+    *n = count;
+    *out = data;
+    rc = 0;
+  } while (0);
+  fclose(f);
+  return rc;
+}
+
+typedef struct {
+  FILE* ark;
+  FILE* scp;  // may be null
+  char* ark_path;
+} KiWriter;
+
+KiWriter* ki_writer_open(const char* ark_path, const char* scp_path) {
+  FILE* ark = fopen(ark_path, "wb");
+  if (!ark) return nullptr;
+  FILE* scp = nullptr;
+  if (scp_path && scp_path[0]) {
+    scp = fopen(scp_path, "w");
+    if (!scp) {
+      fclose(ark);
+      return nullptr;
+    }
+  }
+  KiWriter* w = (KiWriter*)malloc(sizeof(KiWriter));
+  w->ark = ark;
+  w->scp = scp;
+  w->ark_path = strdup(ark_path);
+  return w;
+}
+
+static long ki_begin_entry(KiWriter* w, const char* key) {
+  fwrite(key, 1, strlen(key), w->ark);
+  fputc(' ', w->ark);
+  long offset = ftell(w->ark);
+  fputc('\0', w->ark);
+  fputc('B', w->ark);
+  if (w->scp) fprintf(w->scp, "%s %s:%ld\n", key, w->ark_path, offset);
+  return offset;
+}
+
+int ki_writer_put_matrix(KiWriter* w, const char* key, const float* data,
+                         int32_t rows, int32_t cols) {
+  if (!w) return 1;
+  ki_begin_entry(w, key);
+  fwrite("FM ", 1, 3, w->ark);
+  write_basic_int32(w->ark, rows);
+  write_basic_int32(w->ark, cols);
+  fwrite(data, sizeof(float), (size_t)rows * cols, w->ark);
+  return ferror(w->ark) ? 2 : 0;
+}
+
+int ki_writer_put_vector(KiWriter* w, const char* key, const float* data,
+                         int32_t n) {
+  if (!w) return 1;
+  ki_begin_entry(w, key);
+  fwrite("FV ", 1, 3, w->ark);
+  write_basic_int32(w->ark, n);
+  fwrite(data, sizeof(float), (size_t)n, w->ark);
+  return ferror(w->ark) ? 2 : 0;
+}
+
+int ki_writer_put_int_vector(KiWriter* w, const char* key,
+                             const int32_t* data, int32_t n) {
+  if (!w) return 1;
+  ki_begin_entry(w, key);
+  write_basic_int32(w->ark, n);
+  fwrite(data, sizeof(int32_t), (size_t)n, w->ark);
+  return ferror(w->ark) ? 2 : 0;
+}
+
+void ki_writer_close(KiWriter* w) {
+  if (!w) return;
+  fclose(w->ark);
+  if (w->scp) fclose(w->scp);
+  free(w->ark_path);
+  free(w);
+}
+
+}  // extern "C"

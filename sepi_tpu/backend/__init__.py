@@ -2,6 +2,7 @@ from .vector import length_normalize, subtract_global_mean
 from .lda import LdaTransform, compute_lda
 from .plda import Plda, train_plda, plda_score_matrix, adapt_plda
 from .fusion import linear_fusion
+from .normalize import s_norm, t_norm, z_norm
 
 __all__ = [
     "length_normalize",
@@ -13,4 +14,7 @@ __all__ = [
     "plda_score_matrix",
     "adapt_plda",
     "linear_fusion",
+    "s_norm",
+    "t_norm",
+    "z_norm",
 ]

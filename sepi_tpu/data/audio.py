@@ -1,0 +1,101 @@
+"""Audio ingest: WAV files + in-memory stores behind one resolver.
+
+Replaces the reference's wav.scp command-pipeline convention (sph2pipe
+shell pipes resolved lazily by Kaldi table I/O — `local/make_sre.pl`).
+Pipelines-as-data-sources are replaced by a typed resolver: an
+`Utterance.wav` field is either
+
+  - a filesystem path to a PCM WAV ("/data/x.wav"),
+  - an in-memory store key ("synth:utt1", "aug:utt1-noise"),
+  - or a registered custom scheme ("mystore:key").
+
+Samples are float32 at int16 scale (Kaldi's convention — its feature
+configs, e.g. dither=1.0 and the VAD energy threshold, assume it).
+"""
+
+from __future__ import annotations
+
+import wave
+from typing import Callable, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from .manifest import Dataset, Utterance
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a PCM WAV file -> (float32 samples at int16 scale, rate).
+
+    Multi-channel audio is downmixed by taking channel 0 (the recipes
+    split telephone channels at manifest level, e.g. `make_sre.pl`)."""
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 65536.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * 256.0
+    else:
+        raise ValueError(f"{path}: unsupported sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch)[:, 0].copy()
+    return x, rate
+
+
+def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
+    x = np.round(np.clip(np.asarray(samples), -32768, 32767)).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+
+
+class AudioStore:
+    """Resolves Utterance.wav references to sample arrays.
+
+    In-memory pools are registered per scheme; bare paths hit the
+    filesystem.  Results are optionally cached (small corpora / tests).
+    """
+
+    def __init__(self, cache: bool = False):
+        self._schemes: Dict[str, Mapping[str, np.ndarray]] = {}
+        self._loaders: Dict[str, Callable[[str], np.ndarray]] = {}
+        self._cache: Optional[Dict[str, np.ndarray]] = {} if cache else None
+
+    def register_pool(self, scheme: str, pool: Mapping[str, np.ndarray]) -> None:
+        self._schemes[scheme] = pool
+
+    def register_loader(self, scheme: str, fn: Callable[[str], np.ndarray]) -> None:
+        self._loaders[scheme] = fn
+
+    def load(self, ref: str, expect_rate: Optional[int] = None) -> np.ndarray:
+        if self._cache is not None and ref in self._cache:
+            return self._cache[ref]
+        if ":" in ref and not ref[1:3] == ":\\":
+            scheme, key = ref.split(":", 1)
+            if scheme in self._schemes:
+                x = np.asarray(self._schemes[scheme][key], np.float32)
+            elif scheme in self._loaders:
+                x = np.asarray(self._loaders[scheme](key), np.float32)
+            else:
+                raise KeyError(f"unregistered audio scheme {scheme!r} in {ref!r}")
+        else:
+            x, rate = read_wav(ref)
+            if expect_rate is not None and rate != expect_rate:
+                raise ValueError(f"{ref}: rate {rate} != expected {expect_rate}")
+        if self._cache is not None:
+            self._cache[ref] = x
+        return x
+
+    def load_dataset(self, dataset: Dataset) -> Dict[str, np.ndarray]:
+        return {
+            u.utt_id: self.load(u.wav, u.sample_rate)
+            for u in dataset
+            if u.wav is not None
+        }

@@ -1,0 +1,100 @@
+"""v1 recipe: GMM-UBM / i-vector front end (egs/sre/v1/run_sre10.sh).
+
+Stages (SURVEY.md §3.5):
+  prepare_features_ivector = 20-dim MFCC + deltas(order 2) -> sliding
+      CMVN -> voiced-frame selection (`add-deltas | apply-cmvn-sliding |
+      select-voiced-frames` pipelines)
+  train_v1_frontend        = train_diag_ubm.sh -> train_full_ubm.sh ->
+      train_ivector_extractor.sh (2048 Gaussians, T-matrix 600, 5 EM
+      iters at reference scale; dims configurable)
+  extract_v1_ivectors      = extract_ivectors.sh
+  (backend: reuse recipes.pipeline.backend_eval with lda_dim=200)
+
+DNN-posterior variant (run_sre10_nnet2.sh): pass ``posterior_fn`` — any
+callable (frames -> (N, K) posteriors), e.g. an AM net's softmax — and
+the UBM/i-vector stats use those instead of GMM posteriors
+(`init_full_ubm_from_dnn.sh` / `train_ivector_extractor_dnn.sh`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..classical import train_diag_ubm, train_full_ubm
+from ..classical.gmm import FullGmm, full_gmm_from_posteriors, gselect_posteriors
+from ..classical.ivector import (
+    IvectorExtractor,
+    extract_ivectors,
+    init_extractor,
+    stats_from_features,
+    train_ivector_extractor,
+    utterance_stats,
+)
+from ..config import (
+    CmvnConfig,
+    FrontendConfig,
+    IvectorConfig,
+    MFCC_SRE_IVECTOR,
+    UbmConfig,
+    VadConfig,
+)
+from ..ops import FeatureExtractor, add_deltas, energy_vad, select_voiced_frames, sliding_cmvn
+
+
+def prepare_features_ivector(
+    audio: Mapping[str, np.ndarray],
+    frontend: FrontendConfig = MFCC_SRE_IVECTOR.replace(dither=0.0),
+    vad: VadConfig = VadConfig(),
+    cmvn: CmvnConfig = CmvnConfig(),
+    delta_order: int = 2,
+) -> Dict[str, np.ndarray]:
+    """MFCC(20) -> deltas -> sliding CMVN -> voiced selection: (T, 60)."""
+    fe = FeatureExtractor(frontend)
+    out: Dict[str, np.ndarray] = {}
+    for utt_id, samples in audio.items():
+        feats, mask = fe.mfcc(samples, np.array(len(samples)))
+        voiced = energy_vad(feats[:, 0], mask, vad)
+        with_d = add_deltas(feats, mask, order=delta_order)
+        normed = sliding_cmvn(with_d, mask, cmvn)
+        sel, sel_mask = select_voiced_frames(normed, voiced)
+        n = int(np.sum(np.asarray(sel_mask)))
+        if n:
+            out[utt_id] = np.asarray(sel)[:n]
+    return out
+
+
+def train_v1_frontend(
+    features: Mapping[str, np.ndarray],
+    ubm_cfg: UbmConfig = UbmConfig(),
+    iv_cfg: IvectorConfig = IvectorConfig(),
+    seed: int = 0,
+    posterior_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+) -> Tuple[FullGmm, IvectorExtractor]:
+    """UBM + T-matrix training on the pooled training frames."""
+    all_frames = np.concatenate(list(features.values()))
+    if posterior_fn is None:
+        diag = train_diag_ubm(all_frames, ubm_cfg, seed)
+        ubm = train_full_ubm(all_frames, diag, ubm_cfg)
+    else:
+        post = posterior_fn(all_frames)
+        ubm = full_gmm_from_posteriors(all_frames, post)
+    ext = init_extractor(ubm, iv_cfg.ivector_dim, seed)
+    _, stats = stats_from_features(ext, ubm, features, iv_cfg, ubm_cfg.full_gselect)
+    ext = train_ivector_extractor(ext, stats, iv_cfg)
+    return ubm, ext
+
+
+def extract_v1_ivectors(
+    ubm: FullGmm,
+    ext: IvectorExtractor,
+    features: Mapping[str, np.ndarray],
+    iv_cfg: IvectorConfig = IvectorConfig(),
+    num_gselect: int = 20,
+) -> Dict[str, np.ndarray]:
+    utt_ids, stats = stats_from_features(ext, ubm, features, iv_cfg, num_gselect)
+    ivecs = extract_ivectors(ext, stats, iv_cfg)
+    return dict(zip(utt_ids, ivecs))
