@@ -1,0 +1,411 @@
+"""Monophone GMM-HMM forced aligner — the s5-equivalent alignment provider.
+
+The reference's entire `egs/sre/s5` pipeline (SURVEY.md §3.5: mono ->
+tri1..tri6a + fMLLR, `steps/train_mono.sh`, `steps/align_fmllr.sh`)
+exists to produce ONE artifact the phonetic variants consume: per-frame
+senone alignments (`exp/tri6a_4k_ali`).  Per SURVEY.md §7 hard part 1,
+the framework treats alignments as an input artifact with a documented
+schema (utt -> int32 frame labels), and this module provides the native
+producer: a monophone 3-state GMM-HMM trained by Viterbi EM with forced
+alignment — no decoding graph, no language model (alignment against a
+known transcript never needs one).
+
+Alignment graph per utterance (linear, compile-friendly):
+  [sil] w1_phones [opt sil] w2_phones [opt sil] ... wN_phones [sil]
+each phone = ``states_per_phone`` left-to-right states with self-loops;
+optional inter-word silences are skippable via skip arcs.  Every state
+has <= 3 predecessors (self, previous, skip), so Viterbi is a
+`lax.scan` over time with a dense (S, 3) predecessor table — gather-free
+on the tiny state axis, batched across utterances of one padded bucket.
+
+pdf-ids are (phone_index * states_per_phone + state) — monophone
+"senones".  Emissions are per-pdf diagonal GMMs evaluated as one
+(N, num_pdf * comps) GEMM + grouped logsumexp.
+
+Deviations from Kaldi mono (documented): Viterbi training instead of
+full forward-backward accumulation (standard and adequate for
+alignment); no fMLLR speaker adaptation (a second-pass transform that
+refines alignments, not required for the alignment contract); no
+triphone tying (senone granularity is configurable via phones x states
+instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SIL = "sil"
+_NEG = -1e30
+
+
+@dataclasses.dataclass
+class Lexicon:
+    """word -> phone sequence; phone inventory fixed at construction."""
+
+    pron: Dict[str, Tuple[str, ...]]
+    phones: Tuple[str, ...]  # includes SIL at index 0
+
+    @classmethod
+    def from_dict(cls, pron: Mapping[str, Sequence[str]]) -> "Lexicon":
+        phones = sorted({p for ps in pron.values() for p in ps} - {SIL})
+        return cls({w: tuple(ps) for w, ps in pron.items()}, (SIL, *phones))
+
+    def phone_index(self, phone: str) -> int:
+        return self.phones.index(phone)
+
+    def words_to_phones(self, words: Sequence[str]) -> List[str]:
+        out: List[str] = []
+        for w in words:
+            if w not in self.pron:
+                raise KeyError(f"OOV word {w!r}")
+            out.extend(self.pron[w])
+        return out
+
+
+@dataclasses.dataclass
+class UttGraph:
+    """Linear alignment graph: per-state pdf ids + predecessor table."""
+
+    pdf: np.ndarray  # (S,) int32
+    preds: np.ndarray  # (S, 3) int32, -1 = absent; col 0 is always self
+    final_states: np.ndarray  # states allowed to end the utterance
+    num_states: int
+
+
+def build_graph(
+    lex: Lexicon,
+    words: Sequence[str],
+    states_per_phone: int = 3,
+    optional_silence: bool = True,
+) -> UttGraph:
+    """[sil] w1 [sil?] w2 ... wN [sil] with skippable inter-word sil."""
+    blocks: List[Tuple[int, bool]] = [(0, False)]  # (phone_idx, optional?)
+    word_phones = [
+        [lex.phone_index(p) for p in lex.pron[w]] if w in lex.pron else None
+        for w in words
+    ]
+    for i, ph in enumerate(word_phones):
+        if ph is None:
+            raise KeyError(f"OOV word {words[i]!r}")
+        for p in ph:
+            blocks.append((p, False))
+        if optional_silence and i < len(word_phones) - 1:
+            blocks.append((0, True))
+    blocks.append((0, False))
+
+    pdf: List[int] = []
+    preds: List[List[int]] = []
+    prev_exits: List[int] = []  # states that can transition into next block
+    for phone, optional in blocks:
+        entry = len(pdf)
+        for j in range(states_per_phone):
+            s = len(pdf)
+            pdf.append(phone * states_per_phone + j)
+            p = [s]  # self loop
+            if j > 0:
+                p.append(s - 1)
+            else:
+                p.extend(prev_exits)
+            preds.append((p + [-1, -1, -1])[:3])
+        exit_state = len(pdf) - 1
+        if optional:
+            # next block may come from this sil OR skip it entirely
+            prev_exits = [exit_state] + prev_exits[:1]
+        else:
+            prev_exits = [exit_state]
+    # first block has no external predecessor: strip the dangling entries
+    preds[0] = [0, -1, -1]
+    return UttGraph(
+        pdf=np.asarray(pdf, np.int32),
+        preds=np.asarray(preds, np.int32),
+        final_states=np.asarray([len(pdf) - 1], np.int32),
+        num_states=len(pdf),
+    )
+
+
+@dataclasses.dataclass
+class MonoAligner:
+    """Per-pdf diagonal-GMM emissions + per-state transition log-probs.
+
+    (Not a jit argument — only its arrays cross into jitted code.)"""
+
+    means: jnp.ndarray  # (P, C, D)
+    vars: jnp.ndarray  # (P, C, D)
+    mix_w: jnp.ndarray  # (P, C) log mixture weights
+    loop_logp: jnp.ndarray  # (P,) self-loop log-prob
+    phones: Tuple[str, ...] = ()
+    states_per_phone: int = 3
+
+    @property
+    def num_pdf(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def num_senones(self) -> int:
+        return self.num_pdf
+
+    def log_emissions(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(T, D) -> (T, P): flattened diag-GMM GEMM + grouped logsumexp."""
+        p, c, d = self.means.shape
+        means = self.means.reshape(p * c, d)
+        vars_ = self.vars.reshape(p * c, d)
+        inv_v = 1.0 / vars_
+        const = self.mix_w.reshape(p * c) - 0.5 * (
+            jnp.sum(jnp.log(vars_), axis=1)
+            + d * jnp.log(2.0 * jnp.pi)
+            + jnp.sum(means**2 * inv_v, axis=1)
+        )
+        lin = jnp.dot(x, (means * inv_v).T, preferred_element_type=jnp.float32)
+        quad = jnp.dot(x * x, (0.5 * inv_v).T, preferred_element_type=jnp.float32)
+        ll = const[None] + lin - quad  # (T, P*C)
+        return jax.scipy.special.logsumexp(ll.reshape(-1, p, c), axis=2)
+
+
+@partial(jax.jit, static_argnames=("s_pad",))
+def _viterbi(
+    emissions: jnp.ndarray,  # (T, P) log emissions
+    t_len: jnp.ndarray,  # () true frame count
+    pdf: jnp.ndarray,  # (s_pad,) padded with 0
+    preds: jnp.ndarray,  # (s_pad, 3) padded with -1
+    trans: jnp.ndarray,  # (s_pad, 3) log transition for each pred arc
+    s_pad: int,
+):
+    """Banded Viterbi; returns (best final score, backpointers (T, S))."""
+    state_emit = emissions[:, pdf]  # (T, S)
+    valid = preds >= 0  # (S, 3)
+    pred_idx = jnp.maximum(preds, 0)
+
+    init = jnp.full((s_pad,), _NEG).at[0].set(state_emit[0, 0])
+
+    def step(delta, emit_t):
+        cand = delta[pred_idx] + trans  # (S, 3)
+        cand = jnp.where(valid, cand, _NEG)
+        best = jnp.max(cand, axis=1)
+        bp = jnp.argmax(cand, axis=1).astype(jnp.int8)
+        return best + emit_t, bp
+
+    def scan_fn(carry, xs):
+        delta, t = carry
+        emit_t, = xs
+        new_delta, bp = step(delta, emit_t)
+        # frames beyond t_len: freeze
+        keep = t < t_len
+        delta = jnp.where(keep, new_delta, delta)
+        bp = jnp.where(keep, bp, jnp.zeros_like(bp))
+        return (delta, t + 1), bp
+
+    (delta, _), bps = jax.lax.scan(
+        scan_fn, (init, jnp.asarray(1)), (state_emit[1:],)
+    )
+    return delta, bps  # bps: (T-1, S)
+
+
+def _backtrace(
+    bps: np.ndarray, preds: np.ndarray, final_state: int, t_len: int
+) -> np.ndarray:
+    s = final_state
+    path = np.zeros(t_len, np.int32)
+    path[-1] = s
+    for t in range(t_len - 2, -1, -1):
+        s = preds[s, bps[t, s]]
+        path[t] = s
+    return path
+
+
+class _GraphCache:
+    def __init__(self, lex: Lexicon, states_per_phone: int):
+        self.lex = lex
+        self.spp = states_per_phone
+        self._cache: Dict[Tuple[str, ...], UttGraph] = {}
+
+    def get(self, words: Sequence[str]) -> UttGraph:
+        key = tuple(words)
+        if key not in self._cache:
+            self._cache[key] = build_graph(self.lex, words, self.spp)
+        return self._cache[key]
+
+
+def _round_up(n: int, step: int = 32) -> int:
+    return -(-n // step) * step
+
+
+def align_utterance(
+    aligner: MonoAligner,
+    graph: UttGraph,
+    feats: np.ndarray,
+) -> np.ndarray:
+    """Force-align one utterance -> per-frame pdf ids (T,)."""
+    t_len = feats.shape[0]
+    s_pad = _round_up(graph.num_states)
+    pdf = np.zeros(s_pad, np.int32)
+    pdf[: graph.num_states] = graph.pdf
+    preds = np.full((s_pad, 3), -1, np.int32)
+    preds[: graph.num_states] = graph.preds
+    loop = np.asarray(aligner.loop_logp)
+    trans = np.full((s_pad, 3), _NEG, np.float32)
+    for s in range(graph.num_states):
+        for j, p in enumerate(graph.preds[s]):
+            if p < 0:
+                continue
+            if p == s:
+                trans[s, j] = loop[graph.pdf[s]]
+            else:
+                # advance arc: log(1 - exp(loop)) of the source state
+                lp = loop[graph.pdf[p]]
+                trans[s, j] = float(np.log1p(-np.exp(min(lp, -1e-4))))
+    # pad the time axis to a bucket so utterances share compiled programs
+    t_pad = _round_up(t_len, 64)
+    feats_p = np.zeros((t_pad, feats.shape[1]), np.float32)
+    feats_p[:t_len] = feats
+    emissions = aligner.log_emissions(jnp.asarray(feats_p))
+    delta, bps = _viterbi(
+        emissions,
+        jnp.asarray(t_len),
+        jnp.asarray(pdf),
+        jnp.asarray(preds),
+        jnp.asarray(trans),
+        s_pad,
+    )
+    final = int(graph.final_states[0])
+    if float(np.asarray(delta)[final]) < _NEG / 2:
+        raise ValueError(
+            f"unalignable utterance: {t_len} frames for {graph.num_states} states"
+        )
+    states = _backtrace(np.asarray(bps), preds, final, t_len)
+    return pdf[states]
+
+
+def _flat_start_alignment(graph: UttGraph, t_len: int) -> np.ndarray:
+    """Uniform segmentation over the mandatory (non-optional-sil) path."""
+    # mandatory path = states reachable without optional blocks; for the
+    # linear graph this is simply all states minus skippable sil blocks.
+    # Flat start just spreads frames across ALL states — good enough to
+    # bootstrap EM.
+    s = graph.num_states
+    idx = np.minimum((np.arange(t_len) * s) // max(t_len, 1), s - 1)
+    return graph.pdf[idx]
+
+
+def _estimate_from_alignment(
+    features: Mapping[str, np.ndarray],
+    alignments: Mapping[str, np.ndarray],
+    num_pdf: int,
+    comps: int,
+    phones: Tuple[str, ...],
+    states_per_phone: int,
+    rng: np.random.Generator,
+) -> MonoAligner:
+    d = next(iter(features.values())).shape[1]
+    means = np.zeros((num_pdf, comps, d), np.float32)
+    vars_ = np.ones((num_pdf, comps, d), np.float32)
+    mix_w = np.full((num_pdf, comps), np.log(1.0 / comps), np.float32)
+    loops = np.full(num_pdf, 0.0)
+    counts = np.zeros(num_pdf)
+    self_counts = np.zeros(num_pdf)
+    adv_counts = np.zeros(num_pdf)
+    frames_by_pdf: List[List[np.ndarray]] = [[] for _ in range(num_pdf)]
+    for utt, ali in alignments.items():
+        f = features[utt]
+        for p in range(num_pdf):
+            sel = f[ali == p]
+            if len(sel):
+                frames_by_pdf[p].append(sel)
+        same = ali[1:] == ali[:-1]
+        for p in range(num_pdf):
+            mask_p = ali[:-1] == p
+            self_counts[p] += np.sum(same & mask_p)
+            adv_counts[p] += np.sum(~same & mask_p)
+    global_mean = np.mean(np.concatenate(list(features.values())), axis=0)
+    global_var = np.var(np.concatenate(list(features.values())), axis=0) + 1e-3
+    for p in range(num_pdf):
+        if frames_by_pdf[p]:
+            x = np.concatenate(frames_by_pdf[p])
+            counts[p] = len(x)
+            if comps == 1 or len(x) < comps * 4:
+                means[p, :] = x.mean(axis=0)
+                v = x.var(axis=0) + 1e-3 if len(x) > 3 else global_var
+                vars_[p, :] = np.maximum(v, 1e-3)
+            else:
+                # k-means-lite: random frame seeds + one assignment pass
+                seeds = x[rng.choice(len(x), comps, replace=False)]
+                d2 = ((x[:, None, :] - seeds[None]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                for ci in range(comps):
+                    xc = x[a == ci]
+                    if len(xc) > 3:
+                        means[p, ci] = xc.mean(axis=0)
+                        vars_[p, ci] = np.maximum(xc.var(axis=0), 1e-3)
+                        mix_w[p, ci] = np.log(max(len(xc) / len(x), 1e-3))
+                    else:
+                        means[p, ci] = x.mean(axis=0)
+                        vars_[p, ci] = np.maximum(x.var(axis=0), 1e-3)
+                mix_w[p] -= np.log(np.exp(mix_w[p]).sum())
+        else:
+            means[p, :] = global_mean
+            vars_[p, :] = global_var
+        tot = self_counts[p] + adv_counts[p]
+        loop_p = self_counts[p] / tot if tot else 0.5
+        loops[p] = np.log(np.clip(loop_p, 0.05, 0.95))
+    return MonoAligner(
+        jnp.asarray(means),
+        jnp.asarray(vars_),
+        jnp.asarray(mix_w),
+        jnp.asarray(loops, jnp.float32),
+        phones,
+        states_per_phone,
+    )
+
+
+def train_mono_aligner(
+    features: Mapping[str, np.ndarray],
+    transcripts: Mapping[str, Sequence[str]],
+    lexicon: Lexicon,
+    num_iters: int = 4,
+    states_per_phone: int = 3,
+    comps_per_state: int = 2,
+    seed: int = 0,
+) -> MonoAligner:
+    """Flat-start + Viterbi-EM monophone training (train_mono.sh analog)."""
+    rng = np.random.default_rng(seed)
+    cache = _GraphCache(lexicon, states_per_phone)
+    num_pdf = len(lexicon.phones) * states_per_phone
+    # flat start
+    alignments = {
+        u: _flat_start_alignment(cache.get(transcripts[u]), features[u].shape[0])
+        for u in features
+        if u in transcripts
+    }
+    aligner = _estimate_from_alignment(
+        features, alignments, num_pdf, 1, lexicon.phones, states_per_phone, rng
+    )
+    for it in range(num_iters):
+        comps = 1 if it < num_iters // 2 else comps_per_state
+        alignments = {
+            u: align_utterance(aligner, cache.get(transcripts[u]), features[u])
+            for u in alignments
+        }
+        aligner = _estimate_from_alignment(
+            features, alignments, num_pdf, comps, lexicon.phones, states_per_phone, rng
+        )
+    return aligner
+
+
+def align_corpus(
+    aligner: MonoAligner,
+    features: Mapping[str, np.ndarray],
+    transcripts: Mapping[str, Sequence[str]],
+    lexicon: Lexicon,
+) -> Dict[str, np.ndarray]:
+    """Forced alignment for every utterance -> {utt: (T,) pdf ids}."""
+    cache = _GraphCache(lexicon, aligner.states_per_phone)
+    return {
+        u: align_utterance(aligner, cache.get(transcripts[u]), features[u])
+        for u in features
+        if u in transcripts
+    }

@@ -226,6 +226,16 @@ class Trainer:
     (batch, weight) pairs (MultitaskInterleaver).  Steps are dispatched
     on ``batch.task``: per-step single-task minibatches exactly like the
     interleaved-egs pipeline.
+
+    Diagnostics mirror the reference's per-iteration machinery:
+    - held-out objectives (`compute_{train,cv}_probabilities` /
+      `nnet3-compute-prob`): supply ``valid_batches`` + ``eval_steps``
+      and both are scored every ``eval_every`` steps (logged as
+      'valid:<task>'),
+    - divergence guard (`get_successful_models`,
+      `train/common.py:103-137`): a non-finite training objective
+      aborts with the last good step identified, instead of silently
+      averaging garbage like a diverged job would.
     """
 
     steps: Dict[str, Callable]  # task -> jitted train step
@@ -233,6 +243,21 @@ class Trainer:
     log_every: int = 50
     logger: Optional[Callable[[int, str, Dict[str, float]], None]] = None
     history: list = dataclasses.field(default_factory=list)
+    valid_batches: Optional[list] = None  # list of ChunkBatch/FrameBatch
+    eval_steps: Optional[Dict[str, Callable]] = None  # task -> eval step
+    eval_every: int = 200
+
+    def _run_valid(self, n: int):
+        if not self.valid_batches or not self.eval_steps:
+            return
+        for vb in self.valid_batches:
+            ev = self.eval_steps.get(vb.task)
+            if ev is None:
+                continue
+            m = {k: float(v) for k, v in ev(self.state, vb.feats, vb.labels).items()}
+            self.history.append((n, f"valid:{vb.task}", m))
+            if self.logger:
+                self.logger(n, f"valid:{vb.task}", m)
 
     def run(self, batch_iter: Iterable, num_steps: Optional[int] = None) -> TrainState:
         n = 0
@@ -247,11 +272,20 @@ class Trainer:
                 jnp.asarray(weight, jnp.float32),
             )
             n += 1
-            if n % self.log_every == 0 or (num_steps and n >= num_steps):
+            last = num_steps is not None and n >= num_steps
+            if n % self.log_every == 0 or last:
                 m = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(m.get("objf", 0.0)):
+                    raise RuntimeError(
+                        f"training diverged: non-finite objective at step {n} "
+                        f"(task {batch.task}); last good metrics: "
+                        f"{self.history[-1] if self.history else None}"
+                    )
                 self.history.append((n, batch.task, m))
                 if self.logger:
                     self.logger(n, batch.task, m)
-            if num_steps and n >= num_steps:
+            if n % self.eval_every == 0 or last:
+                self._run_valid(n)
+            if last:
                 break
         return self.state
