@@ -1,6 +1,13 @@
 from .manifest import Dataset, Utterance, Trial, load_trials, save_trials
 from .sampler import ChunkSampler, ChunkBatch
 from .synthetic import make_synthetic_corpus, SyntheticCorpus
+from .audio import AudioStore, read_wav, write_wav
+from .corpora import (
+    dataset_from_table,
+    dataset_from_wav_tree,
+    dataset_from_kaldi_dir,
+    write_kaldi_dir,
+)
 
 __all__ = [
     "Dataset",
@@ -12,4 +19,11 @@ __all__ = [
     "ChunkBatch",
     "make_synthetic_corpus",
     "SyntheticCorpus",
+    "AudioStore",
+    "read_wav",
+    "write_wav",
+    "dataset_from_table",
+    "dataset_from_wav_tree",
+    "dataset_from_kaldi_dir",
+    "write_kaldi_dir",
 ]

@@ -1,0 +1,130 @@
+"""Corpus ingestion helpers — the data-prep layer.
+
+The reference ships ~3k lines of per-corpus LDC walkers
+(`local/make_sre.pl`, `make_swbd*.pl`, `make_musan.py`, ... SURVEY.md
+§2.3 "data prep") that emit Kaldi data dirs.  Those corpora are
+license-gated, so the framework provides corpus-agnostic builders that
+produce the same manifest structure from either (a) directory trees of
+WAVs, (b) explicit (utt, spk, path) tables, or (c) existing Kaldi data
+dirs (wav.scp/utt2spk interop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, List, Mapping, Optional, Tuple
+
+from .audio import read_wav
+from .manifest import Dataset, Utterance
+
+
+def dataset_from_table(
+    rows: Iterable[Tuple[str, str, str]],
+    name: str = "corpus",
+    meta: Optional[Mapping[str, Mapping[str, str]]] = None,
+    probe_audio: bool = False,
+) -> Dataset:
+    """Build from (utt_id, spk_id, wav_path) rows; optional per-utt meta."""
+    utts: List[Utterance] = []
+    for utt_id, spk_id, wav in rows:
+        m: Tuple[Tuple[str, str], ...] = ()
+        if meta and utt_id in meta:
+            m = tuple(sorted(meta[utt_id].items()))
+        num_samples = rate = None
+        if probe_audio:
+            x, rate = read_wav(wav)
+            num_samples = len(x)
+        utts.append(
+            Utterance(utt_id, spk_id, wav=wav, num_samples=num_samples,
+                      sample_rate=rate, meta=m)
+        )
+    return Dataset(utts, name)
+
+
+def dataset_from_wav_tree(
+    root: str,
+    name: str = "corpus",
+    spk_from_path: Optional[Callable[[str], str]] = None,
+) -> Dataset:
+    """Walk a directory tree of WAVs; default speaker = parent dir name
+    (the MUSAN/VoxCeleb-style layout)."""
+    rows = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if not f.lower().endswith(".wav"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, root)
+            spk = spk_from_path(rel) if spk_from_path else os.path.basename(dirpath)
+            utt = rel.replace(os.sep, "-")[:-4]
+            rows.append((f"{spk}-{utt}" if not utt.startswith(spk) else utt, spk, path))
+    return dataset_from_table(rows, name)
+
+
+def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
+    """Interop: read a Kaldi data dir (wav.scp + utt2spk [+ utt2num_frames,
+    utt2dur, utt2uniq]).  wav.scp entries that are command pipelines
+    (ending in '|') are rejected — materialize them to wav first."""
+
+    def read_map(fname) -> Dict[str, str]:
+        p = os.path.join(path, fname)
+        out = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                for line in f:
+                    parts = line.split(None, 1)
+                    if len(parts) == 2:
+                        out[parts[0]] = parts[1].strip()
+        return out
+
+    wav = read_map("wav.scp")
+    utt2spk = read_map("utt2spk")
+    if not wav or not utt2spk:
+        raise FileNotFoundError(f"{path}: need wav.scp and utt2spk")
+    u2nf = read_map("utt2num_frames")
+    u2dur = read_map("utt2dur")
+    u2uniq = read_map("utt2uniq")
+    utts = []
+    for utt_id, spk in utt2spk.items():
+        w = wav.get(utt_id)
+        if w is None:
+            continue
+        if w.endswith("|"):
+            raise ValueError(
+                f"{utt_id}: wav.scp command pipeline {w!r} not supported — "
+                "materialize to wav files first"
+            )
+        utts.append(
+            Utterance(
+                utt_id, spk, wav=w,
+                num_frames=int(u2nf[utt_id]) if utt_id in u2nf else None,
+                duration=float(u2dur[utt_id]) if utt_id in u2dur else None,
+                uniq_id=u2uniq.get(utt_id),
+            )
+        )
+    return Dataset(utts, name or os.path.basename(path))
+
+
+def write_kaldi_dir(dataset: Dataset, path: str) -> None:
+    """Interop: emit wav.scp / utt2spk / spk2utt (+optional maps)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "wav.scp"), "w") as f:
+        for u in dataset:
+            if u.wav:
+                f.write(f"{u.utt_id} {u.wav}\n")
+    with open(os.path.join(path, "utt2spk"), "w") as f:
+        for u in dataset:
+            f.write(f"{u.utt_id} {u.spk_id}\n")
+    with open(os.path.join(path, "spk2utt"), "w") as f:
+        for spk, us in sorted(dataset.spk2utt.items()):
+            f.write(f"{spk} {' '.join(us)}\n")
+    rows = [(u.utt_id, u.num_frames) for u in dataset if u.num_frames is not None]
+    if rows:
+        with open(os.path.join(path, "utt2num_frames"), "w") as f:
+            for k, v in rows:
+                f.write(f"{k} {v}\n")
+    rows = [(u.utt_id, u.uniq_id) for u in dataset if u.uniq_id]
+    if rows:
+        with open(os.path.join(path, "utt2uniq"), "w") as f:
+            for k, v in rows:
+                f.write(f"{k} {v}\n")

@@ -2,7 +2,7 @@ from .framing import num_frames, frame_signal, window_function
 from .features import mfcc, fbank, mel_banks, dct_matrix, FeatureExtractor
 from .vad import energy_vad
 from .cmvn import sliding_cmvn
-from .deltas import add_deltas, splice_frames
+from .deltas import add_deltas, splice_frames, subsample_frames, paste_features
 from .select import select_voiced_frames, select_voiced_counts
 
 __all__ = [
@@ -18,6 +18,8 @@ __all__ = [
     "sliding_cmvn",
     "add_deltas",
     "splice_frames",
+    "subsample_frames",
+    "paste_features",
     "select_voiced_frames",
     "select_voiced_counts",
 ]

@@ -63,6 +63,25 @@ def add_deltas(
     return out[0] if squeeze else out
 
 
+def subsample_frames(feats: jnp.ndarray, every_n: int, offset: int = 0) -> jnp.ndarray:
+    """Kaldi subsample-feats: keep every n-th frame ((B,)T,D)."""
+    return feats[..., offset::every_n, :]
+
+
+def paste_features(parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Kaldi paste-feats: concatenate feature streams along the feature
+    axis (frame counts must already agree, as paste-feats requires —
+    used by the DNN/i-vector recipe to join 20d sid + 40d hires streams,
+    `init_full_ubm_from_dnn.sh:100-105`)."""
+    t0 = parts[0].shape[-2]
+    for p in parts[1:]:
+        if p.shape[-2] != t0:
+            raise ValueError(
+                f"paste_features: frame counts differ ({t0} vs {p.shape[-2]})"
+            )
+    return jnp.concatenate(parts, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("context",))
 def splice_frames(
     feats: jnp.ndarray,
