@@ -64,16 +64,22 @@ def main():
     lengths = jnp.full((batch,), n_samples, jnp.int32)
     samples = jax.device_put(samples)
 
-    # warmup/compile; sync via host transfer (block_until_ready has been
-    # observed to be unreliable through remote-device tunnels)
-    np.asarray(extract(variables, samples, lengths))
-    np.asarray(extract(variables, samples, lengths))
+    # Measure with the iteration loop ON DEVICE (fori_loop) and sync via
+    # host transfer: per-dispatch overhead through remote-device tunnels
+    # otherwise dominates, and async-dispatch timing under-reports.
+    iters = 10
 
-    iters = 5
+    @jax.jit
+    def extract_loop(variables, samples, lengths):
+        def body(i, acc):
+            emb = extract(variables, samples + i.astype(jnp.float32) * 1e-12, lengths)
+            return acc + jnp.sum(emb)
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    np.asarray(extract_loop(variables, samples, lengths))  # compile+warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = extract(variables, samples, lengths)
-    np.asarray(out)
+    np.asarray(extract_loop(variables, samples, lengths))
     dt = (time.perf_counter() - t0) / iters
     audio_sec_per_s = batch * secs / dt
     print(f"# {dt*1e3:.1f} ms / batch of {batch}x{secs:.0f}s audio", file=sys.stderr)

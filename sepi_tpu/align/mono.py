@@ -167,25 +167,34 @@ class MonoAligner:
         return jax.scipy.special.logsumexp(ll.reshape(-1, p, c), axis=2)
 
 
-@partial(jax.jit, static_argnames=("s_pad",))
+@partial(jax.jit, static_argnames=("s_pad", "skip"))
 def _viterbi(
     emissions: jnp.ndarray,  # (T, P) log emissions
     t_len: jnp.ndarray,  # () true frame count
     pdf: jnp.ndarray,  # (s_pad,) padded with 0
-    preds: jnp.ndarray,  # (s_pad, 3) padded with -1
+    preds: jnp.ndarray,  # (s_pad, 3) padded with -1 (backtrace table)
     trans: jnp.ndarray,  # (s_pad, 3) log transition for each pred arc
     s_pad: int,
+    skip: int = 4,
 ):
-    """Banded Viterbi; returns (best final score, backpointers (T, S))."""
+    """Banded Viterbi; returns (best final score, backpointers (T, S)).
+
+    The linear graph guarantees every predecessor is one of
+    {s, s-1, s-skip} (self-loop, advance, optional-silence skip), so the
+    recursion is three shifted adds — no gathers; invalid arcs carry
+    -inf transitions, which also masks the shift wrap-around.
+    """
     state_emit = emissions[:, pdf]  # (T, S)
-    valid = preds >= 0  # (S, 3)
-    pred_idx = jnp.maximum(preds, 0)
 
     init = jnp.full((s_pad,), _NEG).at[0].set(state_emit[0, 0])
+    neg = jnp.full((1,), _NEG)
+    negk = jnp.full((skip,), _NEG)
 
     def step(delta, emit_t):
-        cand = delta[pred_idx] + trans  # (S, 3)
-        cand = jnp.where(valid, cand, _NEG)
+        c0 = delta + trans[:, 0]
+        c1 = jnp.concatenate([neg, delta[:-1]]) + trans[:, 1]
+        c2 = jnp.concatenate([negk, delta[:-skip]]) + trans[:, 2]
+        cand = jnp.stack([c0, c1, c2], axis=1)  # (S, 3)
         best = jnp.max(cand, axis=1)
         bp = jnp.argmax(cand, axis=1).astype(jnp.int8)
         return best + emit_t, bp
@@ -263,6 +272,11 @@ def align_utterance(
     t_pad = _round_up(t_len, 64)
     feats_p = np.zeros((t_pad, feats.shape[1]), np.float32)
     feats_p[:t_len] = feats
+    # shift-based recursion invariant: preds columns are {s, s-1, s-skip}
+    skip = aligner.states_per_phone + 1
+    ss = np.arange(graph.num_states)
+    assert np.all((graph.preds[:, 1] == -1) | (graph.preds[:, 1] == ss - 1))
+    assert np.all((graph.preds[:, 2] == -1) | (graph.preds[:, 2] == ss - skip))
     emissions = aligner.log_emissions(jnp.asarray(feats_p))
     delta, bps = _viterbi(
         emissions,
@@ -271,6 +285,7 @@ def align_utterance(
         jnp.asarray(preds),
         jnp.asarray(trans),
         s_pad,
+        skip,
     )
     final = int(graph.final_states[0])
     if float(np.asarray(delta)[final]) < _NEG / 2:
@@ -401,11 +416,96 @@ def align_corpus(
     features: Mapping[str, np.ndarray],
     transcripts: Mapping[str, Sequence[str]],
     lexicon: Lexicon,
+    batched: bool = False,
+    batch_size: int = 32,
+    use_pallas: Optional[bool] = None,
 ) -> Dict[str, np.ndarray]:
-    """Forced alignment for every utterance -> {utt: (T,) pdf ids}."""
+    """Forced alignment for every utterance -> {utt: (T,) pdf ids}.
+
+    ``batched=True`` buckets utterances and runs the batched Viterbi —
+    the Pallas kernel on TPU (use_pallas=None autodetects), the
+    vectorized scan elsewhere — for corpus-scale throughput."""
     cache = _GraphCache(lexicon, aligner.states_per_phone)
-    return {
-        u: align_utterance(aligner, cache.get(transcripts[u]), features[u])
-        for u in features
-        if u in transcripts
-    }
+    if not batched:
+        return {
+            u: align_utterance(aligner, cache.get(transcripts[u]), features[u])
+            for u in features
+            if u in transcripts
+        }
+    return _align_corpus_batched(
+        aligner, features, transcripts, cache, batch_size, use_pallas
+    )
+
+
+def _utt_tables(aligner: MonoAligner, graph: UttGraph, s_pad: int):
+    """(pdf, preds, trans (3, S)) padded tables for the batched path."""
+    pdf = np.zeros(s_pad, np.int32)
+    pdf[: graph.num_states] = graph.pdf
+    preds = np.full((s_pad, 3), -1, np.int32)
+    preds[: graph.num_states] = graph.preds
+    loop = np.asarray(aligner.loop_logp)
+    trans = np.full((3, s_pad), _NEG, np.float32)
+    for s in range(graph.num_states):
+        for j, p in enumerate(graph.preds[s]):
+            if p < 0:
+                continue
+            if p == s:
+                trans[0, s] = loop[graph.pdf[s]]
+            else:
+                lp = loop[graph.pdf[p]]
+                trans[j, s] = float(np.log1p(-np.exp(min(lp, -1e-4))))
+    return pdf, preds, trans
+
+
+def _align_corpus_batched(
+    aligner, features, transcripts, cache, batch_size, use_pallas
+) -> Dict[str, np.ndarray]:
+    from .viterbi_pallas import viterbi_batch, viterbi_batch_reference
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    skip = aligner.states_per_phone + 1
+    utt_ids = [u for u in features if u in transcripts]
+    # bucket by padded (T, S) so programs are reused
+    items = []
+    for u in utt_ids:
+        g = cache.get(transcripts[u])
+        t_len = features[u].shape[0]
+        items.append((u, g, t_len))
+    items.sort(key=lambda x: (x[2], x[1].num_states))
+    out: Dict[str, np.ndarray] = {}
+    for i0 in range(0, len(items), batch_size):
+        group = items[i0 : i0 + batch_size]
+        t_pad = _round_up(max(x[2] for x in group), 64)
+        s_pad = _round_up(max(x[1].num_states for x in group), 128)
+        b = len(group)
+        emit = np.full((b, t_pad, s_pad), _NEG, np.float32)
+        tlen = np.zeros(b, np.int32)
+        trans = np.zeros((b, 3, s_pad), np.float32)
+        tables = []
+        for j, (u, g, t_len) in enumerate(group):
+            pdf, preds, tr = _utt_tables(aligner, g, s_pad)
+            e = np.asarray(aligner.log_emissions(jnp.asarray(features[u], jnp.float32)))
+            emit[j, :t_len] = e[:, pdf]
+            tlen[j] = t_len
+            trans[j] = tr
+            tables.append((pdf, preds, g))
+        fn = viterbi_batch if use_pallas else jax.jit(
+            viterbi_batch_reference, static_argnames=("skip",)
+        )
+        bps, delta = fn(
+            jnp.asarray(emit), jnp.asarray(tlen), jnp.asarray(trans), skip
+        )
+        bps = np.asarray(bps)
+        delta = np.asarray(delta)
+        for j, (u, g, t_len) in enumerate(group):
+            pdf, preds, graph = tables[j]
+            final = int(graph.final_states[0])
+            if delta[j, final] < _NEG / 2:
+                raise ValueError(
+                    f"unalignable utterance {u}: {t_len} frames for "
+                    f"{graph.num_states} states"
+                )
+            states = _backtrace(bps[j], preds, final, t_len)
+            out[u] = pdf[states]
+    return out

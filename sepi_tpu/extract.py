@@ -31,6 +31,9 @@ import numpy as np
 from .config import ExtractConfig
 
 
+_STREAM_JIT_CACHE: Dict = {}
+
+
 def chunk_spans(num_frames: int, cfg: ExtractConfig, min_frames: int) -> List[Tuple[int, int]]:
     """(offset, length) chunks per nnet3-xvector-compute semantics."""
     lo = max(cfg.min_chunk_size, min_frames)
@@ -144,6 +147,71 @@ class EmbeddingExtractor:
                         sums[utt] = length * emb[j]
                         weights[utt] = float(length)
         return {u: sums[u] / weights[u] for u in sums}
+
+
+def streaming_embed(
+    model,
+    variables: Mapping,
+    feats: np.ndarray,  # (T, D), arbitrarily long
+    chunk: int = 10000,
+    var_floor: float = 1e-10,
+) -> np.ndarray:
+    """Exact single-pass embedding of an unbounded-length utterance.
+
+    The reference caps stats pooling at 10 000 frames and averages
+    per-chunk embeddings (`extract_xvectors_new.sh:86-93`) — an
+    approximation forced by nnet3's bounded stats window.  With explicit
+    running moments there is no cap: trunk chunks (overlapped by the
+    receptive field so every trunk frame is computed exactly once) feed
+    running (count, sum, sum-of-squares); the segment head runs once on
+    the exact whole-utterance statistics.  Requires a model exposing
+    ``trunk``/``head`` methods (models.XVector).
+    """
+    probe = model.apply(variables, jnp.asarray(feats[:64][None], jnp.float32),
+                        method="trunk")
+    left, right = probe.left, probe.right
+    ctx = left + right
+    t = feats.shape[0]
+    if t <= ctx:
+        raise ValueError(f"utterance too short: {t} <= receptive field {ctx}")
+
+    key = (id(model), "trunk")
+    if key not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key] = jax.jit(
+            lambda v, f: model.apply(v, f, method="trunk").x
+        )
+    trunk = _STREAM_JIT_CACHE[key]
+    count = 0.0
+    s1 = s2 = None
+    # chunk starts step by (chunk - ctx) so trunk outputs tile exactly
+    step = max(chunk - ctx, 1)
+    for off in range(0, t - ctx, step):
+        piece = feats[off : off + chunk]
+        if piece.shape[0] <= ctx:
+            break
+        pad = chunk - piece.shape[0]
+        n_valid = piece.shape[0] - ctx
+        if pad:
+            piece = np.pad(piece, ((0, pad), (0, 0)))
+        out = np.asarray(trunk(variables, jnp.asarray(piece[None], jnp.float32)))[0]
+        out = out[:n_valid]
+        count += n_valid
+        if s1 is None:
+            s1 = out.sum(axis=0)
+            s2 = (out.astype(np.float64) ** 2).sum(axis=0)
+        else:
+            s1 = s1 + out.sum(axis=0)
+            s2 = s2 + (out.astype(np.float64) ** 2).sum(axis=0)
+    mean = s1 / count
+    var = np.maximum(s2 / count - mean.astype(np.float64) ** 2, var_floor)
+    pooled = np.concatenate([mean, np.sqrt(var)]).astype(np.float32)
+    hkey = (id(model), "head")
+    if hkey not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[hkey] = jax.jit(
+            lambda v, p: model.apply(v, p, method="head")["embedding_a"]
+        )
+    head = _STREAM_JIT_CACHE[hkey]
+    return np.asarray(head(variables, jnp.asarray(pooled[None])))[0]
 
 
 def speaker_mean(

@@ -112,6 +112,10 @@ class TdnnLayer(nn.Module):
     # moderate decay converges to the same thing over a few hundred
     # steps without a separate accumulation pass.
     bn_momentum: float = 0.95
+    # MXU compute dtype: params stay float32, the conv computes in this
+    # dtype ("bfloat16" for the fast path); batch-norm always reduces in
+    # float32 for stable statistics.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, return_affine: bool = False):
@@ -122,6 +126,7 @@ class TdnnLayer(nn.Module):
             kernel_dilation=(s.dilation,),
             padding="VALID",
             use_bias=True,
+            dtype=jnp.dtype(self.dtype),
             name="affine",
         )(x)
         h = nn.relu(affine)
@@ -131,6 +136,7 @@ class TdnnLayer(nn.Module):
             epsilon=1e-3,
             use_scale=True,
             use_bias=False,  # Kaldi batchnorm-component has no affine part
+            dtype=jnp.float32,
             name="batchnorm",
         )(h)
         if return_affine:
@@ -144,13 +150,15 @@ class TdnnStack(nn.Module):
     specs: Tuple[TdnnSpec, ...]
     name_prefix: str = "tdnn"
     bn_momentum: float = 0.95
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, stream: Stream, train: bool = False) -> Stream:
         x, left, right = stream.x, stream.left, stream.right
         for i, spec in enumerate(self.specs):
             x = TdnnLayer(
-                spec, bn_momentum=self.bn_momentum, name=f"{self.name_prefix}{i + 1}"
+                spec, bn_momentum=self.bn_momentum, dtype=self.dtype,
+                name=f"{self.name_prefix}{i + 1}"
             )(x, train)
             left += spec.left
             right += spec.right
@@ -192,14 +200,17 @@ class SegmentHead(nn.Module):
     embed_dim: int = 512
     num_classes: int = 0  # 0 = headless (extraction-only)
     bn_momentum: float = 0.95
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
         h, emb_a = TdnnLayer(
-            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum, name="tdnn6"
+            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="tdnn6"
         )(pooled[:, None, :], train, return_affine=True)
         h, emb_b = TdnnLayer(
-            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum, name="tdnn7"
+            TdnnSpec(self.embed_dim), bn_momentum=self.bn_momentum,
+            dtype=self.dtype, name="tdnn7"
         )(h, train, return_affine=True)
         out = {"embedding_a": emb_a[:, 0, :], "embedding_b": emb_b[:, 0, :]}
         if self.num_classes:

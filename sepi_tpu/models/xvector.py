@@ -7,6 +7,13 @@ Architecture (exact shapes from the reference xconfig):
 
 Total frame-level context: left 7, right 7 — reproduced automatically by
 the Stream context accounting.
+
+The model exposes ``trunk`` (frame-level layers) and ``head``
+(post-pooling layers) as separate applyable methods so extraction can
+stream arbitrarily long utterances: accumulate (count, sum, sum-sq) over
+trunk chunks, then run the head once on the pooled statistics
+(extract.streaming_embed) — the TPU-native replacement for the
+reference's bounded stats window + chunk-averaged embeddings.
 """
 
 from __future__ import annotations
@@ -49,17 +56,37 @@ V2_XVECTOR = XVectorConfig()
 class XVector(nn.Module):
     cfg: XVectorConfig
     bn_momentum: float = 0.95
+    dtype: str = "float32"
 
-    @nn.compact
+    def setup(self):
+        self.frames = TdnnStack(
+            self.cfg.frame_specs, bn_momentum=self.bn_momentum, dtype=self.dtype,
+            name="frames",
+        )
+        self.stats = StatsPooling(name="stats")
+        self.segment = SegmentHead(
+            self.cfg.embed_dim,
+            self.cfg.num_speakers,
+            bn_momentum=self.bn_momentum,
+            dtype=self.dtype,
+            name="segment",
+        )
+
+    def trunk(self, feats: jnp.ndarray, train: bool = False) -> Stream:
+        """Frame-level layers only: (B, T, D) -> Stream of (B, T', 1500)."""
+        return self.frames(Stream(feats, 0, 0), train)
+
+    def head(self, pooled: jnp.ndarray, train: bool = False):
+        """Post-pooling layers: (B, 2*1500) -> embeddings / logits."""
+        return self.segment(pooled, train)
+
     def __call__(
         self,
         feats: jnp.ndarray,  # (B, T, D)
         frame_mask: Optional[jnp.ndarray] = None,  # (B, T) over *input* frames
         train: bool = False,
     ):
-        stream = TdnnStack(
-            self.cfg.frame_specs, bn_momentum=self.bn_momentum, name="frames"
-        )(Stream(feats, 0, 0), train)
+        stream = self.trunk(feats, train)
         pooled_mask = None
         if frame_mask is not None:
             # Trunk output frame t consumes input frames [t, t+left+right],
@@ -67,10 +94,5 @@ class XVector(nn.Module):
             t_out = stream.x.shape[1]
             ctx = stream.left + stream.right
             pooled_mask = frame_mask[:, ctx : ctx + t_out]
-        pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
-        return SegmentHead(
-            self.cfg.embed_dim,
-            self.cfg.num_speakers,
-            bn_momentum=self.bn_momentum,
-            name="segment",
-        )(pooled, train)
+        pooled = self.stats(stream.x, pooled_mask)
+        return self.head(pooled, train)

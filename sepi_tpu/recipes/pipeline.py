@@ -74,6 +74,27 @@ def prepare_features_nosil(
     return out
 
 
+def heldout_split(
+    dataset: Dataset, num_heldout_utts: int, min_per_spk: int = 2
+) -> Tuple[Dataset, Dataset]:
+    """Split off held-out diagnostic utterances (get_egs_xvec.sh:104-119):
+    only speakers with enough utterances contribute, so no speaker
+    disappears from the training side."""
+    heldout = []
+    remaining_counts = {s: len(us) for s, us in dataset.spk2utt.items()}
+    for u in dataset:
+        if len(heldout) >= num_heldout_utts:
+            break
+        if remaining_counts[u.spk_id] > min_per_spk:
+            heldout.append(u.utt_id)
+            remaining_counts[u.spk_id] -= 1
+    held_set = set(heldout)
+    return (
+        dataset.filter(lambda u: u.utt_id not in held_set, f"{dataset.name}_train"),
+        dataset.filter(lambda u: u.utt_id in held_set, f"{dataset.name}_valid"),
+    )
+
+
 def train_xvector_model(
     features: Mapping[str, np.ndarray],
     dataset: Dataset,
@@ -82,22 +103,86 @@ def train_xvector_model(
     num_steps: int = 500,
     mesh=None,
     log=None,
+    num_heldout_utts: int = 0,
+    checkpoint_dir: Optional[str] = None,
 ):
-    """Train a v2 x-vector on nosil features; returns (model, state, label_map)."""
+    """Train a v2 x-vector on nosil features; returns (model, state, label_map).
+
+    With ``num_heldout_utts``, held-out utterances provide valid
+    diagnostics each eval period (the valid_diagnostic archives of the
+    reference); with ``checkpoint_dir``, periodic checkpoints are written
+    and the final model is the best checkpoint-tail combination scored on
+    the held-out objective (nnet3-combine semantics).
+    """
+    from ..train import combine_checkpoints, save_checkpoint
+    from ..train.trainer import make_eval_step
+
     feat_dim = next(iter(features.values())).shape[1]
     label_map = dataset.speaker_label_map()
     if model_cfg is None:
         model_cfg = XVectorConfig(feat_dim=feat_dim, num_speakers=len(label_map))
     model = XVector(model_cfg)
+
+    train_ds, valid_batches = dataset, None
+    eval_steps = None
+    if num_heldout_utts > 0:
+        train_ds, valid_ds = heldout_split(dataset, num_heldout_utts)
+        # valid sampler shares the full label map via the parent dataset
+        valid_sampler = ChunkSampler(
+            {u: features[u] for u in valid_ds.utt_ids if u in features},
+            dataset.subset(valid_ds.utt_ids),
+            train_cfg.chunks,
+            min(train_cfg.batch_size, max(len(valid_ds), 2)),
+            train_cfg.seed + 1,
+        )
+        # fix labels to the global map
+        valid_sampler.label_map = label_map
+        valid_batches = [valid_sampler.sample_batch(l) for l in valid_sampler.buckets[:2]]
+        eval_steps = {"xvec": make_eval_step(model)}
+
     sampler = ChunkSampler(
-        features, dataset, train_cfg.chunks, train_cfg.batch_size, train_cfg.seed
+        {u: features[u] for u in train_ds.utt_ids if u in features},
+        dataset.subset(train_ds.utt_ids),
+        train_cfg.chunks,
+        train_cfg.batch_size,
+        train_cfg.seed,
     )
+    sampler.label_map = label_map
     tx, _ = build_optimizer(train_cfg.optimizer, num_steps)
     probe = sampler.sample_batch(sampler.buckets[0])
     state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)
     step = make_xvec_step(model, tx, mesh=mesh)
-    trainer = Trainer(steps={"xvec": step}, state=state, log_every=50, logger=log)
-    state = trainer.run(iter(sampler), num_steps=num_steps)
+    trainer = Trainer(
+        steps={"xvec": step}, state=state, log_every=50, logger=log,
+        valid_batches=valid_batches, eval_steps=eval_steps,
+        eval_every=train_cfg.steps_per_eval,
+    )
+
+    if checkpoint_dir:
+        remaining = num_steps
+        it = iter(sampler)
+        while remaining > 0:
+            run_for = min(train_cfg.checkpoint_every, remaining)
+            state = trainer.run(it, num_steps=run_for)
+            remaining -= run_for
+            save_checkpoint(
+                state, checkpoint_dir, num_steps - remaining,
+                keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
+            )
+        if valid_batches and eval_steps:
+            ev = eval_steps["xvec"]
+
+            def objf(s):
+                return float(
+                    np.mean([
+                        float(ev(s, vb.feats, vb.labels)["objf"]) for vb in valid_batches
+                    ])
+                )
+
+            state, best = combine_checkpoints(state, checkpoint_dir, objf)
+    else:
+        state = trainer.run(iter(sampler), num_steps=num_steps)
+
     calib = [sampler.sample_batch(l).feats for l in sampler.buckets[:3]]
     state = finalize_batch_stats(model, state, calib)
     return model, state, label_map

@@ -134,3 +134,45 @@ def test_alignments_feed_phonetic_stack(world):
     b = sampler.sample_batch()
     acc = float(make_eval_step(model)(state, b.feats, b.labels)["accuracy"])
     assert acc > 0.5, f"senone accuracy {acc:.2f}"
+
+
+def test_pallas_viterbi_matches_reference(rng):
+    """The Pallas batched Viterbi kernel is bit-identical to the scan
+    implementation (interpret mode on CPU; compiled path exercised on
+    TPU by the alignment benchmarks)."""
+    import jax.numpy as jnp
+
+    from sepi_tpu.align.viterbi_pallas import viterbi_batch, viterbi_batch_reference
+
+    B, T, S, skip = 3, 40, 128, 4
+    emit = rng.normal(size=(B, T, S)).astype(np.float32)
+    tlen = np.array([40, 25, 33], np.int32)
+    trans = np.full((B, 3, S), -1e30, np.float32)
+    trans[:, 0, :] = np.log(0.6)
+    trans[:, 1, 1:] = np.log(0.4)
+    trans[:, 2, skip:] = np.where(
+        rng.random((B, S - skip)) < 0.3, np.log(0.2), -1e30
+    )
+    bp_p, d_p = viterbi_batch(
+        jnp.asarray(emit), jnp.asarray(tlen), jnp.asarray(trans), skip, interpret=True
+    )
+    bp_r, d_r = viterbi_batch_reference(
+        jnp.asarray(emit), jnp.asarray(tlen), jnp.asarray(trans), skip
+    )
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bp_p), np.asarray(bp_r))
+
+
+def test_batched_align_matches_per_utterance(world):
+    """The bucketed batched Viterbi path must reproduce per-utterance
+    alignments exactly (CPU: vectorized scan backend)."""
+    features, transcripts, _ = world
+    aligner = train_mono_aligner(features, transcripts, LEX, num_iters=2)
+    per_utt = align_corpus(aligner, features, transcripts, LEX)
+    batched = align_corpus(
+        aligner, features, transcripts, LEX, batched=True, batch_size=5,
+        use_pallas=False,
+    )
+    assert set(batched) == set(per_utt)
+    for u in per_utt:
+        np.testing.assert_array_equal(batched[u], per_utt[u])

@@ -114,3 +114,56 @@ def test_extraction_chunking_consistency(corpus, nosil):
     # must be close for stationary input (cosine > 0.98)
     cos = np.dot(whole, chunked) / (np.linalg.norm(whole) * np.linalg.norm(chunked))
     assert cos > 0.98
+
+
+def test_streaming_embed_matches_whole_utterance(corpus, nosil):
+    """Exact streaming pooling == one-shot pooling on the same utterance."""
+    from sepi_tpu.extract import streaming_embed
+
+    model_cfg = XVectorConfig(
+        feat_dim=23, num_speakers=8, frame_specs=TINY_SPECS, embed_dim=48
+    )
+    train_cfg = TrainConfig(
+        chunks=ChunkConfig(min_chunk_len=50, max_chunk_len=100, num_buckets=2),
+        batch_size=16,
+    )
+    model, state, _ = train_xvector_model(
+        nosil, corpus.dataset, model_cfg, train_cfg, num_steps=20
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    utt = max(nosil, key=lambda u: nosil[u].shape[0])
+    feats = nosil[utt]
+    whole = extract_and_score(
+        model, state, {utt: feats}, ExtractConfig(chunk_size=10000),
+        model_cfg.min_frames,
+    )[utt]
+    streamed = streaming_embed(model, variables, feats, chunk=97)
+    np.testing.assert_allclose(streamed, whole, rtol=2e-3, atol=2e-3)
+
+
+def test_train_with_heldout_and_checkpoints(tmp_path, corpus, nosil):
+    """valid diagnostics + checkpoint-tail combination wiring."""
+    import os
+
+    model_cfg = XVectorConfig(
+        feat_dim=23, num_speakers=8, frame_specs=TINY_SPECS, embed_dim=48
+    )
+    train_cfg = TrainConfig(
+        optimizer=OptimizerConfig(initial_lr=0.02, final_lr=0.005, proportional_shrink=0.5),
+        chunks=ChunkConfig(min_chunk_len=50, max_chunk_len=100, num_buckets=2),
+        batch_size=16,
+        checkpoint_every=20,
+        steps_per_eval=20,
+    )
+    model, state, label_map = train_xvector_model(
+        nosil, corpus.dataset, model_cfg, train_cfg, num_steps=60,
+        num_heldout_utts=6, checkpoint_dir=str(tmp_path),
+    )
+    names = os.listdir(tmp_path)
+    assert any(n.startswith("ckpt_") for n in names)
+    assert len(label_map) == 8  # heldout split must not drop speakers
+    embs = extract_and_score(
+        model, state, nosil, ExtractConfig(chunk_size=400, batch_size=16),
+        model_cfg.min_frames,
+    )
+    assert len(embs) == len(nosil)
