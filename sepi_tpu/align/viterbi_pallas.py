@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
-_BLK = 8
+_BLK = 256
 
 
 def _make_kernel(skip: int):
@@ -48,7 +48,7 @@ def _make_kernel(skip: int):
             col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
             delta_ref[:] = jnp.where(col == 0, emit_ref[0], _NEG)
 
-        for j in range(_BLK):
+        def body(j, _):
             t = blk * _BLK + j
             d = delta_ref[:]  # (B, S)
             c0 = d + t0
@@ -59,8 +59,13 @@ def _make_kernel(skip: int):
             bp = jnp.where(c0 >= jnp.maximum(c1, c2), 0, jnp.where(c1 >= c2, 1, 2))
             # t == 0 is the init frame (delta set above, bp row unused)
             live = (t >= 1) & (t < tl)
+            # leading (time) dim of a 3D ref is untiled: dynamic row
+            # indexing is legal there, unlike sublane rows of a 2D ref
             bp_ref[j] = jnp.where(live, bp, 0).astype(jnp.int32)
             delta_ref[:] = jnp.where(live, best + emit_ref[j], d)
+            return 0
+
+        jax.lax.fori_loop(0, _BLK, body, 0)
 
         @pl.when(blk == pl.num_programs(0) - 1)
         def _():

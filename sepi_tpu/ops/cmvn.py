@@ -9,10 +9,14 @@ Kaldi window semantics (feat/feature-functions.cc, SlidingWindowCmn):
 with --center, frame t's window is [t - w/2, t - w/2 + w), shifted to stay
 inside [0, T); the window is always min(w, T) frames.
 
-TPU design: O(T*D) via an exclusive prefix sum over time and two dynamic
-gathers — no per-frame reduction loops.  Padded frames are zeroed, and
-window clipping uses each utterance's true frame count, so the op runs
-batched under one jit.
+TPU design: gather-free.  For interior frames the clipped window start is
+exactly t - w/2, so the windowed sum is a *static shift* of the exclusive
+prefix sum (one subtraction of two slices).  Only the edge regimes differ
+— and there the window is CONSTANT per utterance (start pinned to 0 on
+the left, to T-w on the right), so each needs just one (B, D) row of the
+prefix sum, broadcast and selected by mask.  (A take_along_axis
+formulation costs B*T*D gather descriptors; TPU gathers run on the
+scalar core — see ops/framing.py.)
 """
 
 from __future__ import annotations
@@ -23,6 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CmvnConfig
+
+
+def _row_at(c: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """c: (B, T+1, D), idx: (B,) -> (B, D): one dynamic row per utt."""
+    return jnp.take_along_axis(c, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -44,42 +53,68 @@ def sliding_cmvn(
         feats, frame_mask = feats[None], frame_mask[None]
     b, t, d = feats.shape
     w = cfg.window
+    half = w // 2
     mask_f = frame_mask.astype(feats.dtype)
     x = feats * mask_f[..., None]
-    num_valid = jnp.sum(mask_f, axis=1).astype(jnp.int32)  # (B,)
+    n = jnp.sum(mask_f, axis=1).astype(jnp.int32)  # (B,) valid frames
+    win = jnp.minimum(w, jnp.maximum(n, 1))  # (B,) effective window
+    winf = win.astype(x.dtype)[:, None]
 
-    # Exclusive prefix sums over time: csum[t] = sum(x[0:t]).
+    # Exclusive prefix sums over time: csum[:, k] = sum(x[:, :k]).
+    def stats_for(c):
+        # c: (B, T+1, D) exclusive prefix sums of some quantity
+        if cfg.center:
+            # interior: start = t - half, end = start + w -> static shifts
+            # (pad so the shifted slices exist for every t)
+            cp = jnp.pad(c, ((0, 0), (half, w), (0, 0)))
+            # at row t: cp[t + half + (w - half)] - cp[t + half - half]
+            upper = cp[:, w:w + t]          # csum[t + (w - half)]
+            lower = cp[:, 0:t]              # csum[t - half]
+            interior = upper - lower
+        else:
+            cp = jnp.pad(c, ((0, 0), (w, 0), (0, 0)))
+            upper = cp[:, w + 1 : w + t + 1]
+            lower = cp[:, 1 : t + 1]
+            interior = upper - lower
+        # left edge: start = 0, window = win  -> constant row per utt
+        left = _row_at(c, win)  # (B, D): csum[win] - csum[0]
+        # right edge: start = n - win -> constant row per utt
+        right = _row_at(c, n) - _row_at(c, jnp.maximum(n - win, 0))
+        return interior, left, right
+
+    tt = jnp.arange(t, dtype=jnp.int32)[None, :]  # (1, T)
+    if cfg.center:
+        start = tt - half
+        lo_edge = start < 0
+        hi_edge = start > (n[:, None] - win[:, None])
+    else:
+        start = tt - w + 1
+        lo_edge = start < 0
+        hi_edge = start > (n[:, None] - win[:, None])
+
     csum = jnp.concatenate(
         [jnp.zeros((b, 1, d), x.dtype), jnp.cumsum(x, axis=1)], axis=1
-    )  # (B, T+1, D)
-    csum2 = None
+    )
+    int_s, left_s, right_s = stats_for(csum)
+    total = jnp.where(
+        lo_edge[..., None],
+        left_s[:, None, :],
+        jnp.where(hi_edge[..., None], right_s[:, None, :], int_s),
+    )
+    mean = total / winf[..., None]
+    out = feats - mean
+
     if cfg.normalize_variance:
         csum2 = jnp.concatenate(
             [jnp.zeros((b, 1, d), x.dtype), jnp.cumsum(x * x, axis=1)], axis=1
         )
-
-    tt = jnp.arange(t, dtype=jnp.int32)[None, :]  # (1, T)
-    n = num_valid[:, None]  # (B, 1)
-    win = jnp.minimum(w, jnp.maximum(n, 1))  # effective window size
-    if cfg.center:
-        start = tt - w // 2
-    else:
-        # Kaldi non-centered: window ends at t (uses past frames).
-        start = tt - w + 1
-    start = jnp.clip(start, 0, jnp.maximum(n - win, 0))
-    end = start + win  # (B, T)
-
-    def gather_rows(c, idx):
-        # c: (B, T+1, D), idx: (B, T) -> (B, T, D)
-        return jnp.take_along_axis(c, idx[..., None], axis=1)
-
-    total = gather_rows(csum, end) - gather_rows(csum, start)
-    count = (end - start).astype(x.dtype)[..., None]
-    mean = total / count
-    out = feats - mean
-    if cfg.normalize_variance:
-        total2 = gather_rows(csum2, end) - gather_rows(csum2, start)
-        var = jnp.maximum(total2 / count - mean * mean, 1e-10)
+        int_q, left_q, right_q = stats_for(csum2)
+        total2 = jnp.where(
+            lo_edge[..., None],
+            left_q[:, None, :],
+            jnp.where(hi_edge[..., None], right_q[:, None, :], int_q),
+        )
+        var = jnp.maximum(total2 / winf[..., None] - mean * mean, 1e-10)
         out = out * jax.lax.rsqrt(var)
     out = out * mask_f[..., None]
     return out[0] if squeeze else out
