@@ -67,3 +67,47 @@ def test_subsample_and_paste(rng):
     assert z.shape == (10, 8)
     with pytest.raises(ValueError):
         paste_features([x, x[:5]])
+
+
+def test_featstore_roundtrip(tmp_path, rng):
+    from sepi_tpu.data.featstore import FeatStore
+
+    feats = {f"u{i}": rng.normal(size=(10 + i, 4)).astype(np.float32) for i in range(5)}
+    store = FeatStore.write(str(tmp_path / "fs"), feats)
+    assert set(store) == set(feats)
+    for u in feats:
+        np.testing.assert_array_equal(np.asarray(store[u]), feats[u])
+    reopened = FeatStore.open(str(tmp_path / "fs"))
+    np.testing.assert_array_equal(np.asarray(reopened["u3"]), feats["u3"])
+    assert len(reopened) == 5 and "u0" in reopened
+
+
+def test_featstore_feeds_sampler(tmp_path, rng):
+    from sepi_tpu.data import ChunkSampler, make_synthetic_corpus
+    from sepi_tpu.data.featstore import FeatStore
+    from sepi_tpu.config import ChunkConfig
+
+    corpus = make_synthetic_corpus(num_speakers=3, utts_per_speaker=3, duration_sec=2.0)
+    feats = {u: rng.normal(size=(120, 8)).astype(np.float32) for u in corpus.dataset.utt_ids}
+    store = FeatStore.write(str(tmp_path / "fs"), feats)
+    sampler = ChunkSampler(store, corpus.dataset, ChunkConfig(min_chunk_len=40, max_chunk_len=60, num_buckets=2), 8)
+    b = sampler.sample_batch()
+    assert b.feats.shape[0] == 8 and b.feats.shape[2] == 8
+
+
+def test_prefetch_loader(rng):
+    from sepi_tpu.data.featstore import PrefetchLoader
+
+    items = list(range(20))
+    out = list(PrefetchLoader(iter(items), depth=3))
+    assert out == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = PrefetchLoader(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
+        next(it)

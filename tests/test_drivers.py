@@ -58,3 +58,24 @@ def test_run_v3_driver_with_adaptation_condition(tmp_path, corpus):
     )
     assert res.pooled.eer < 0.2
     assert res.pooled.num_target > 0
+
+
+def test_run_v2_with_adaptation_and_conditions(tmp_path, corpus):
+    """SRE16-style run: unsupervised PLDA adaptation + condition splits."""
+    from sepi_tpu.metrics.report import metadata_condition
+
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    # fake "in-domain unlabeled" set: the same audio (smoke semantics)
+    test_utts = {u.utt_id: u.replace(meta=(("lang", "tgl" if i % 2 else "yue"),))
+                 for i, u in enumerate(corpus.dataset)}
+    res = run_v2(
+        corpus.dataset, corpus.audio, corpus.dataset, {}, corpus.trials, enroll,
+        workdir=str(tmp_path),
+        model_cfg=XVectorConfig(feat_dim=23, num_speakers=6, frame_specs=TINY_SPECS, embed_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=100,
+        adapt_dataset=corpus.dataset, adapt_audio=corpus.audio,
+        condition_fn=metadata_condition(test_utts, "lang"),
+    )
+    assert "pooled" in res.conditions
+    assert any(c.startswith("lang:") for c in res.conditions)
+    assert res.pooled.num_target > 0
