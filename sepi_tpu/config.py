@@ -14,7 +14,6 @@ num_ceps=23, snip_edges=False)``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 
 def _replace(cfg, **kw):

@@ -20,7 +20,7 @@ from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
-from .manifest import Dataset, Utterance
+from .manifest import Dataset
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:

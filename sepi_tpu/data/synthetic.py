@@ -12,7 +12,7 @@ on it, and a broken one won't.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

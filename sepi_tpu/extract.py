@@ -21,7 +21,6 @@ contaminate the statistics.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, List, Mapping, Optional, Tuple
 
 import jax

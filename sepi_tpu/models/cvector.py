@@ -26,7 +26,7 @@ All branch merging uses Stream context accounting (tdnn.py) — the nnet3
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,19 +20,16 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Mapping, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..classical import train_diag_ubm, train_full_ubm
-from ..classical.gmm import FullGmm, full_gmm_from_posteriors, gselect_posteriors
+from ..classical.gmm import FullGmm, full_gmm_from_posteriors
 from ..classical.ivector import (
     IvectorExtractor,
     extract_ivectors,
     init_extractor,
     stats_from_features,
     train_ivector_extractor,
-    utterance_stats,
 )
 from ..config import (
     CmvnConfig,

@@ -19,13 +19,12 @@ frame-aligned with the (already silence-stripped) feature streams.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Mapping, Optional, Tuple
+from typing import Dict, Mapping
 
 import jax
 import numpy as np
 
-from ..config import OptimizerConfig, TrainConfig, UbmConfig
+from ..config import TrainConfig, UbmConfig
 from ..data.manifest import Dataset
 from ..data.sampler import ChunkSampler, FrameSampler, MultitaskInterleaver
 from ..models import (

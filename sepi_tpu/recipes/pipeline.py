@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..backend import compute_lda, length_normalize, subtract_global_mean, train_plda
-from ..backend.plda import Plda, score_trials
+from ..backend.plda import score_trials
 from ..config import (
     BackendConfig,
     ChunkConfig,
@@ -36,7 +36,7 @@ from ..config import (
 )
 from ..data.manifest import Dataset, Trial
 from ..data.sampler import ChunkSampler
-from ..extract import EmbeddingExtractor, speaker_mean
+from ..extract import EmbeddingExtractor
 from ..metrics import EvalResult, evaluate_scores
 from ..metrics.det import split_scores_by_trials
 from ..models import XVector, XVectorConfig

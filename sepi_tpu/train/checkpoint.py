@@ -18,12 +18,10 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import flax.serialization
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def save_checkpoint(state, directory: str, step: int, keep_every: int = 10, max_keep: int = 25) -> str:

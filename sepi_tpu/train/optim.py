@@ -29,8 +29,7 @@ a Shampoo/ Adafactor preconditioner is the TPU-native substitute.
 
 from __future__ import annotations
 
-import re
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
