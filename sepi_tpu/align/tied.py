@@ -1,0 +1,332 @@
+"""Tree-clustered context-dependent senones (the tri6a_4k equivalent).
+
+The reference's phonetic variants consume ~4k *senones* — decision-tree-
+clustered triphone states from `egs/sre/s5`'s tri6a model (SURVEY.md
+§3.5: 5000 leaves).  The monophone aligner (align.mono) caps senone
+granularity at 3 x #phones; this module lifts it to an arbitrary leaf
+budget with the classic likelihood-based state tying:
+
+1. monophone align the corpus (align.mono),
+2. for every aligned frame derive its (left, center, state, right)
+   context from the realized phone sequence,
+3. greedily split (center, state) populations by set-membership
+   questions on the left/right context, choosing at each step the
+   global split with the largest single-Gaussian log-likelihood gain
+   (the Young/Odell/Woodland procedure Kaldi's tree building follows),
+   until ``num_leaves`` is reached,
+4. leaves are the senone ids; re-estimate per-senone GMM emissions and
+   re-align with context-dependent graphs (same banded Viterbi — only
+   the pdf table of each utterance graph changes).
+
+Documented simplifications vs Kaldi's tree: questions are data-derived
+phone bisections per node (not a hand-written phonetic question list);
+silence stays context-independent; cross-word context looks through
+optional silence (Kaldi conditions on the realized lattice context).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .mono import (
+    Lexicon,
+    MonoAligner,
+    UttGraph,
+    _GraphCache,
+    align_corpus,
+    train_mono_aligner,
+)
+
+
+@dataclasses.dataclass
+class _Node:
+    """Decision-tree node for one (center_phone, hmm_state)."""
+
+    leaf_id: int = -1
+    side: str = ""  # 'l' or 'r'
+    phone_set: frozenset = frozenset()
+    yes: Optional["_Node"] = None
+    no: Optional["_Node"] = None
+
+    def lookup(self, l: int, r: int) -> int:
+        node = self
+        while node.leaf_id < 0:
+            ctx = l if node.side == "l" else r
+            node = node.yes if ctx in node.phone_set else node.no
+        return node.leaf_id
+
+
+@dataclasses.dataclass
+class TiedTree:
+    """(center_phone, state) -> context decision tree; sil untied."""
+
+    roots: Dict[Tuple[int, int], _Node]
+    num_leaves: int
+    states_per_phone: int
+    num_phones: int
+
+    def senone(self, l: int, c: int, state: int, r: int) -> int:
+        return self.roots[(c, state)].lookup(l, r)
+
+
+class _Gauss:
+    """Diagonal single-Gaussian sufficient stats for LL-gain scoring."""
+
+    __slots__ = ("n", "s1", "s2")
+
+    def __init__(self, d):
+        self.n = 0.0
+        self.s1 = np.zeros(d)
+        self.s2 = np.zeros(d)
+
+    def add(self, other):
+        self.n += other.n
+        self.s1 += other.s1
+        self.s2 += other.s2
+
+    def ll(self) -> float:
+        if self.n < 2:
+            return 0.0
+        mean = self.s1 / self.n
+        var = np.maximum(self.s2 / self.n - mean**2, 1e-4)
+        d = len(mean)
+        return float(-0.5 * self.n * (np.sum(np.log(var)) + d * (1 + np.log(2 * np.pi))))
+
+
+def _best_split(stats: Dict[Tuple[int, int], _Gauss], d: int):
+    """Best (side, phone_set) bisection of a node's context population.
+
+    Greedy data-driven question: for each side, order that side's
+    context phones by their population mean along the top-variance
+    dimension and scan the ordered bisections (a 1-D k-means-style
+    search that is exact for the best threshold split)."""
+    parent = _Gauss(d)
+    for g in stats.values():
+        parent.add(g)
+    base = parent.ll()
+    best = None
+    for side_idx, side in ((0, "l"), (1, "r")):
+        by_phone: Dict[int, _Gauss] = {}
+        for (l, r), g in stats.items():
+            p = (l, r)[side_idx]
+            if p not in by_phone:
+                by_phone[p] = _Gauss(d)
+            by_phone[p].add(g)
+        if len(by_phone) < 2:
+            continue
+        # order phones by projection of their mean on the max-var dim
+        mean = parent.s1 / max(parent.n, 1)
+        var = np.maximum(parent.s2 / max(parent.n, 1) - mean**2, 1e-8)
+        dim = int(np.argmax(var))
+        order = sorted(by_phone, key=lambda p: by_phone[p].s1[dim] / max(by_phone[p].n, 1))
+        left = _Gauss(d)
+        acc = []
+        for p in order[:-1]:
+            left.add(by_phone[p])
+            acc.append(p)
+            right = _Gauss(d)
+            right.n = parent.n - left.n
+            right.s1 = parent.s1 - left.s1
+            right.s2 = parent.s2 - left.s2
+            gain = left.ll() + right.ll() - base
+            if best is None or gain > best[0]:
+                best = (gain, side, frozenset(acc))
+    return best  # (gain, side, phone_set) or None
+
+
+def build_tied_tree(
+    context_stats: Mapping[Tuple[int, int], Dict[Tuple[int, int], _Gauss]],
+    num_leaves: int,
+    states_per_phone: int,
+    num_phones: int,
+    min_count: float = 100.0,
+) -> TiedTree:
+    """Global greedy splitting with a priority queue over candidate gains."""
+    roots: Dict[Tuple[int, int], _Node] = {}
+    next_leaf = 0
+    heap: List = []
+    counter = 0
+
+    def make_leaf(stats):
+        nonlocal next_leaf, counter
+        node = _Node(leaf_id=next_leaf)
+        next_leaf += 1
+        d = len(next(iter(stats.values())).s1) if stats else 1
+        total = sum(g.n for g in stats.values())
+        if stats and total >= 2 * min_count:
+            split = _best_split(stats, d)
+            if split and split[0] > 0:
+                heapq.heappush(heap, (-split[0], counter, node, split, stats))
+                counter += 1
+        return node
+
+    for key, stats in sorted(context_stats.items()):
+        roots[key] = make_leaf(stats)
+
+    while heap and next_leaf < num_leaves:
+        neg_gain, _, node, (gain, side, phone_set), stats = heapq.heappop(heap)
+        if node.leaf_id < 0:
+            continue  # already split
+        yes_stats = {
+            ctx: g for ctx, g in stats.items()
+            if (ctx[0] if side == "l" else ctx[1]) in phone_set
+        }
+        no_stats = {ctx: g for ctx, g in stats.items() if ctx not in yes_stats}
+        if sum(g.n for g in yes_stats.values()) < min_count or (
+            sum(g.n for g in no_stats.values()) < min_count
+        ):
+            continue
+        # convert this leaf into an internal node; reuse its id for 'no'
+        node.side = side
+        node.phone_set = phone_set
+        old_id = node.leaf_id
+        node.leaf_id = -1
+        node.no = _Node(leaf_id=old_id)
+        node.yes = make_leaf(yes_stats)
+        # re-queue the 'no' child
+        d = len(next(iter(no_stats.values())).s1) if no_stats else 1
+        if no_stats and sum(g.n for g in no_stats.values()) >= 2 * min_count:
+            split = _best_split(no_stats, d)
+            if split and split[0] > 0:
+                heapq.heappush(heap, (-split[0], counter, node.no, split, no_stats))
+                counter += 1
+    return TiedTree(roots, next_leaf, states_per_phone, num_phones)
+
+
+def _blocks_for_path(phones_per_block: np.ndarray, pdf_path: np.ndarray, spp: int) -> np.ndarray:
+    """Per-frame block index recovered from a pdf path.
+
+    The alignment graph is linear, so the path visits blocks in
+    increasing order; a new block starts when the phone changes or the
+    HMM state resets (states within a block are non-decreasing)."""
+    nb = len(phones_per_block)
+    out = np.zeros(len(pdf_path), np.int32)
+    blk = 0
+    prev_state = -1
+    for t, pdf in enumerate(pdf_path):
+        phone, state = pdf // spp, pdf % spp
+        if phones_per_block[blk] != phone or state < prev_state:
+            blk += 1
+            while blk < nb and phones_per_block[blk] != phone:
+                blk += 1
+            if blk >= nb:
+                raise ValueError("pdf path inconsistent with graph")
+            prev_state = -1
+        out[t] = blk
+        prev_state = state
+    return out
+
+
+def _block_contexts(graph: UttGraph, spp: int) -> np.ndarray:
+    """(num_blocks, 2) left/right phone context per block, sil-aware.
+
+    Context looks through optional silence: the neighbor phone of a
+    non-sil block is the nearest non-sil block phone (or sil at
+    utterance edges)."""
+    phones = graph.pdf.reshape(-1, spp)[:, 0] // spp
+    nb = len(phones)
+    ctx = np.zeros((nb, 2), np.int32)
+    for i in range(nb):
+        l = 0
+        for j in range(i - 1, -1, -1):
+            if phones[j] != 0:
+                l = phones[j]
+                break
+        r = 0
+        for j in range(i + 1, nb):
+            if phones[j] != 0:
+                r = phones[j]
+                break
+        ctx[i] = (l, r)
+    return ctx
+
+
+@dataclasses.dataclass
+class TiedAligner:
+    """Context-dependent aligner: mono acoustic front + tied senone map."""
+
+    mono: MonoAligner
+    tree: TiedTree
+    lexicon: Lexicon
+
+    @property
+    def num_senones(self) -> int:
+        return self.tree.num_leaves
+
+    def senone_alignments(
+        self,
+        features: Mapping[str, np.ndarray],
+        transcripts: Mapping[str, Sequence[str]],
+        batched: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Forced alignment -> per-frame tied-senone ids."""
+        mono_ali = align_corpus(
+            self.mono, features, transcripts, self.lexicon, batched=batched
+        )
+        spp = self.mono.states_per_phone
+        cache = _GraphCache(self.lexicon, spp)
+        out: Dict[str, np.ndarray] = {}
+        for u, pdf_path in mono_ali.items():
+            graph = cache.get(transcripts[u])
+            ctx = _block_contexts(graph, spp)
+            phones_per_block = graph.pdf.reshape(-1, spp)[:, 0] // spp
+            blocks = _blocks_for_path(phones_per_block, pdf_path, spp)
+            senones = np.zeros(len(pdf_path), np.int32)
+            for t, pdf in enumerate(pdf_path):
+                phone, state = int(pdf // spp), int(pdf % spp)
+                if phone == 0:
+                    senones[t] = self.tree.senone(0, 0, state, 0)
+                else:
+                    l, r = ctx[blocks[t]]
+                    senones[t] = self.tree.senone(int(l), phone, state, int(r))
+            out[u] = senones
+        return out
+
+
+def train_tied_aligner(
+    features: Mapping[str, np.ndarray],
+    transcripts: Mapping[str, Sequence[str]],
+    lexicon: Lexicon,
+    num_leaves: int = 2048,
+    mono_iters: int = 4,
+    min_count: float = 100.0,
+    states_per_phone: int = 3,
+    seed: int = 0,
+) -> TiedAligner:
+    """Mono training + context-stat collection + tree building."""
+    mono = train_mono_aligner(
+        features, transcripts, lexicon, mono_iters, states_per_phone, seed=seed
+    )
+    spp = states_per_phone
+    ali = align_corpus(mono, features, transcripts, lexicon)
+    cache = _GraphCache(lexicon, spp)
+    d = next(iter(features.values())).shape[1]
+
+    # context-conditioned single-Gaussian stats per (center, state)
+    stats: Dict[Tuple[int, int], Dict[Tuple[int, int], _Gauss]] = {}
+    num_phones = len(lexicon.phones)
+    for c in range(num_phones):
+        for s in range(spp):
+            stats[(c, s)] = {}
+    for u, pdf_path in ali.items():
+        graph = cache.get(transcripts[u])
+        ctx = _block_contexts(graph, spp)
+        phones_per_block = graph.pdf.reshape(-1, spp)[:, 0] // spp
+        blocks = _blocks_for_path(phones_per_block, pdf_path, spp)
+        f = features[u]
+        for t, pdf in enumerate(pdf_path):
+            phone, state = int(pdf // spp), int(pdf % spp)
+            key = (0, 0) if phone == 0 else tuple(int(v) for v in ctx[blocks[t]])
+            node_stats = stats[(phone, state)]
+            if key not in node_stats:
+                node_stats[key] = _Gauss(d)
+            g = node_stats[key]
+            g.n += 1
+            g.s1 += f[t]
+            g.s2 += f[t] ** 2
+    tree = build_tied_tree(stats, num_leaves, spp, num_phones, min_count)
+    return TiedAligner(mono, tree, lexicon)

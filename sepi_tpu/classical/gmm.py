@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -199,7 +199,17 @@ def accumulate_stats(
     return out
 
 
-def _mstep_diag(stats: GmmStats, cfg: UbmConfig, var_floor: float) -> DiagGmm:
+# Components with fewer effective frames than this keep their previous
+# parameters in the M-step: a starved component's moment estimates are
+# garbage (negative "variances" from catastrophic cancellation), which
+# would poison the Cholesky whitener with NaNs at 2048-component scale.
+# Kaldi guards the same way (min-gaussian-occupancy + variance flooring).
+_MIN_COUNT = 5.0
+
+
+def _mstep_diag(
+    stats: GmmStats, cfg: UbmConfig, var_floor: float, prev: Optional[DiagGmm] = None
+) -> DiagGmm:
     gamma = np.asarray(stats.gamma)
     total = gamma.sum()
     w = np.maximum(gamma / max(total, 1e-20), cfg.min_gaussian_weight)
@@ -208,10 +218,16 @@ def _mstep_diag(stats: GmmStats, cfg: UbmConfig, var_floor: float) -> DiagGmm:
     means = np.asarray(stats.first) / denom
     vars_ = np.asarray(stats.second) / denom - means**2
     vars_ = np.maximum(vars_, var_floor)
+    low = gamma < _MIN_COUNT
+    if np.any(low) and prev is not None:
+        means[low] = np.asarray(prev.means)[low]
+        vars_[low] = np.asarray(prev.vars)[low]
     return DiagGmm(jnp.asarray(w), jnp.asarray(means), jnp.asarray(vars_))
 
 
-def _mstep_full(stats: GmmStats, cfg: UbmConfig, var_floor: float) -> FullGmm:
+def _mstep_full(
+    stats: GmmStats, cfg: UbmConfig, var_floor: float, prev: Optional[FullGmm] = None
+) -> FullGmm:
     gamma = np.asarray(stats.gamma)
     total = gamma.sum()
     w = np.maximum(gamma / max(total, 1e-20), cfg.min_gaussian_weight)
@@ -223,6 +239,16 @@ def _mstep_full(stats: GmmStats, cfg: UbmConfig, var_floor: float) -> FullGmm:
         "kd,ke->kde", means, means
     )
     covars += var_floor * np.eye(d)[None]
+    low = gamma < max(_MIN_COUNT, d / 2.0)  # full-cov needs more mass
+    if np.any(low):
+        if prev is not None:
+            means[low] = np.asarray(prev.means)[low]
+            covars[low] = np.asarray(prev.covars)[low]
+        else:
+            global_cov = np.cov(means[~low].T) + var_floor * np.eye(d) if (~low).sum() > d else np.eye(d)
+            covars[low] = global_cov
+    # PSD safety: symmetric + eigenvalue floor for any remaining bad apples
+    covars = 0.5 * (covars + np.swapaxes(covars, 1, 2))
     return FullGmm(jnp.asarray(w), jnp.asarray(means), jnp.asarray(covars))
 
 
@@ -255,7 +281,7 @@ def train_diag_ubm(
     gmm = init_diag_from_frames(np.asarray(x), cfg.num_gauss, seed)
     for _ in range(cfg.num_iters_init):
         stats = accumulate_stats(gmm, x, num_gselect=cfg.num_gselect, full=False)
-        gmm = _mstep_diag(stats, cfg, var_floor)
+        gmm = _mstep_diag(stats, cfg, var_floor, prev=gmm)
     return gmm
 
 
@@ -276,7 +302,7 @@ def train_full_ubm(
         stats = accumulate_stats(
             gmm, x, num_gselect=cfg.full_gselect, min_post=0.0, full=True
         )
-        gmm = _mstep_full(stats, cfg, var_floor)
+        gmm = _mstep_full(stats, cfg, var_floor, prev=gmm)
     return gmm
 
 

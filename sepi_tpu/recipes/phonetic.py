@@ -70,8 +70,12 @@ def pseudo_senone_alignments(
     return out
 
 
-def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats, model_kwargs=None, log=None):
-    trainer = Trainer(steps=steps, state=state, log_every=50, logger=log)
+def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
+           model_kwargs=None, log=None, valid_batches=None, eval_steps=None):
+    trainer = Trainer(
+        steps=steps, state=state, log_every=50, logger=log,
+        valid_batches=valid_batches, eval_steps=eval_steps, eval_every=100,
+    )
     state = trainer.run(batch_iter, num_steps=num_steps)
     state = finalize_batch_stats(model, state, calib_feats, model_kwargs=model_kwargs)
     return state
@@ -150,8 +154,17 @@ def train_multitask_model(
         "xvec": make_xvec_step(model, tx, task_kwargs={"task": "xvec"}, mesh=mesh),
     }
     calib = [xvec_sampler.sample_batch(b).feats for b in xvec_sampler.buckets[:3]]
+    # per-task held-out-style diagnostics (compute_cvector_train_cv_probabilities)
+    from ..train.trainer import make_eval_step
+
+    valid_batches = [am_sampler.sample_batch(), xvec_sampler.sample_batch()]
+    eval_steps = {
+        "am": make_eval_step(model, task_kwargs={"task": "am"}),
+        "xvec": make_eval_step(model, task_kwargs={"task": "xvec"}),
+    }
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
-                   model_kwargs={"task": "both"}, log=log)
+                   model_kwargs={"task": "both"}, log=log,
+                   valid_batches=valid_batches, eval_steps=eval_steps)
     return model, state
 
 

@@ -114,7 +114,7 @@ def train_xvector_model(
     and the final model is the best checkpoint-tail combination scored on
     the held-out objective (nnet3-combine semantics).
     """
-    from ..train import combine_checkpoints, save_checkpoint
+    from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
     from ..train.trainer import make_eval_step
 
     feat_dim = next(iter(features.values())).shape[1]
@@ -159,7 +159,14 @@ def train_xvector_model(
     )
 
     if checkpoint_dir:
-        remaining = num_steps
+        # resume (--train-stage analog): pick up from the latest checkpoint
+        from ..train.checkpoint import latest_checkpoint
+
+        done = latest_checkpoint(checkpoint_dir) or 0
+        if done:
+            state = load_checkpoint(state, checkpoint_dir, done)
+            trainer.state = state
+        remaining = num_steps - done
         it = iter(sampler)
         while remaining > 0:
             run_for = min(train_cfg.checkpoint_every, remaining)

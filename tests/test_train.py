@@ -196,3 +196,54 @@ def test_checkpoint_pruning(rng):
         assert {0, 10, 20} <= kept
         assert {25, 26, 27, 28, 29} <= kept
         assert 13 not in kept
+
+
+def test_multitask_data_parallel_steps(rng):
+    """Both heads of a multitask model train under the 8-device mesh."""
+    from sepi_tpu.models import MultitaskConfig, MultitaskCVector
+    from sepi_tpu.train.trainer import make_am_step
+
+    mesh = make_mesh()
+    cfg = MultitaskConfig(
+        num_speakers=4, num_senones=6, embed_dim=16, hidden_dim=8, pool_dim=16
+    )
+    model = MultitaskCVector(cfg)
+    opt_cfg = OptimizerConfig(initial_lr=0.02, final_lr=0.01, proportional_shrink=0.0)
+    tx, _ = build_optimizer(opt_cfg, 20)
+    feats = rng.normal(size=(16, 40, 23)).astype(np.float32)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), feats, model_kwargs={"task": "both"}
+    )
+    xstep = make_xvec_step(model, tx, task_kwargs={"task": "xvec"}, mesh=mesh)
+    astep = make_am_step(model, tx, task_kwargs={"task": "am"}, mesh=mesh)
+    labels = rng.integers(0, 4, size=16).astype(np.int32)
+    l, r = cfg.am_context
+    am_labels = rng.integers(0, 6, size=(16, 40 - l - r)).astype(np.int32)
+    w = jnp.float32(1.0)
+    state, m1 = xstep(state, feats, labels, w)
+    state, m2 = astep(state, feats, am_labels, w)
+    assert np.isfinite(float(m1["objf"])) and np.isfinite(float(m2["objf"]))
+
+
+def test_resume_from_checkpoint_dir(rng, tmp_path):
+    """train_xvector_model resumes from an existing checkpoint dir."""
+    from sepi_tpu.data import make_synthetic_corpus
+    from sepi_tpu.recipes import prepare_features_nosil, train_xvector_model
+    from sepi_tpu.config import ChunkConfig, TrainConfig as TC
+    from sepi_tpu.models import XVectorConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+    from sepi_tpu.train.checkpoint import latest_checkpoint
+
+    corpus = make_synthetic_corpus(num_speakers=4, utts_per_speaker=3, duration_sec=2.0)
+    nosil = prepare_features_nosil(corpus.audio)
+    cfg = XVectorConfig(feat_dim=23, num_speakers=4,
+                        frame_specs=(TdnnSpec(8, (-2, -1, 0, 1, 2)), TdnnSpec(16, (0,))),
+                        embed_dim=8)
+    tc = TC(chunks=ChunkConfig(min_chunk_len=30, max_chunk_len=50, num_buckets=1),
+            batch_size=8, checkpoint_every=10)
+    d = str(tmp_path)
+    train_xvector_model(nosil, corpus.dataset, cfg, tc, num_steps=20, checkpoint_dir=d)
+    assert latest_checkpoint(d) == 20
+    # "resume": asking for 30 total only runs 10 more
+    train_xvector_model(nosil, corpus.dataset, cfg, tc, num_steps=30, checkpoint_dir=d)
+    assert latest_checkpoint(d) == 30
