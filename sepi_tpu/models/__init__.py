@@ -1,5 +1,6 @@
 from .tdnn import TdnnSpec, TdnnStack, StatsPooling, Stream
 from .xvector import XVectorConfig, XVector, V2_XVECTOR
+from .nnet2 import Nnet2Config, Nnet2Multisplice, NNET2_MULTISPLICE, PnormLayer
 from .cvector import (
     AmConfig,
     AmNet,
@@ -35,4 +36,8 @@ __all__ = [
     "CombinedConfig",
     "CombinedCVector",
     "V5_COMBINED",
+    "Nnet2Config",
+    "Nnet2Multisplice",
+    "NNET2_MULTISPLICE",
+    "PnormLayer",
 ]

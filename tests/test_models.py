@@ -173,3 +173,42 @@ def test_graft_shape_mismatch_raises(rng):
     bad_src = other.init(jax.random.PRNGKey(3), jnp.asarray(x), train=False)
     with pytest.raises(ValueError):
         graft_subtree(tgt_vars, bad_src, "am")
+
+
+def test_nnet2_pnorm_multisplice(rng):
+    """The legacy DNN/i-vector posterior net: shapes, context, p-norm."""
+    import dataclasses
+
+    from sepi_tpu.models import Nnet2Config, Nnet2Multisplice
+
+    cfg = dataclasses.replace(
+        Nnet2Config(), num_senones=20, pnorm_output_dim=12, group_size=4
+    )
+    assert cfg.context == (13, 9)  # l: 2+1+3+7, r: 2+2+3+2
+    model = Nnet2Multisplice(cfg)
+    x = rng.normal(size=(2, 40, 40)).astype(np.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = model.apply(vars_, jnp.asarray(x))
+    assert out["logits"].shape == (2, 40 - 13 - 9, 20)
+    assert out["context"] == (13, 9)
+    # p-norm output feeding i-vector posteriors
+    post = np.asarray(jax.nn.softmax(out["logits"], axis=-1))
+    np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-5)
+
+
+def test_pnorm_layer_math(rng):
+    """group p-norm (p=2) + RMS normalization against direct computation."""
+    from sepi_tpu.models import PnormLayer
+    from sepi_tpu.models.tdnn import TdnnSpec
+
+    layer = PnormLayer(TdnnSpec(3, (0,)), input_dim_multiple=2)
+    x = rng.normal(size=(1, 5, 4)).astype(np.float32)
+    vars_ = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = np.asarray(layer.apply(vars_, jnp.asarray(x)))
+    k = np.asarray(vars_["params"]["affine"]["kernel"])[0]  # (4, 6)
+    b = np.asarray(vars_["params"]["affine"]["bias"])
+    aff = x[0] @ k + b  # (5, 6)
+    g = aff.reshape(5, 3, 2)
+    pn = np.sqrt((g**2).sum(-1) + 1e-20)
+    ref = pn / np.sqrt((pn**2).mean(-1, keepdims=True) + 1e-20)
+    np.testing.assert_allclose(y[0], ref, rtol=1e-5, atol=1e-5)
