@@ -287,6 +287,64 @@ class TiedAligner:
         return out
 
 
+def context_graph(
+    lexicon: Lexicon, words: Sequence[str], tree: TiedTree, spp: int
+) -> UttGraph:
+    """Alignment graph whose pdf table is tied-senone ids.
+
+    Same topology as the monophone graph; only the per-state pdfs change
+    (tree lookup on the canonical through-silence context), so the banded
+    Viterbi runs unmodified."""
+    from .mono import build_graph
+
+    g = build_graph(lexicon, words, spp)
+    ctx = _block_contexts(g, spp)
+    pdf = np.zeros_like(g.pdf)
+    for s in range(g.num_states):
+        phone, state = int(g.pdf[s] // spp), int(g.pdf[s] % spp)
+        blk = s // spp
+        if phone == 0:
+            pdf[s] = tree.senone(0, 0, state, 0)
+        else:
+            l, r = ctx[blk]
+            pdf[s] = tree.senone(int(l), phone, state, int(r))
+    return UttGraph(pdf=pdf, preds=g.preds, final_states=g.final_states,
+                    num_states=g.num_states)
+
+
+def refine_tied_aligner(
+    tied: TiedAligner,
+    features: Mapping[str, np.ndarray],
+    transcripts: Mapping[str, Sequence[str]],
+    num_iters: int = 2,
+    comps_per_senone: int = 2,
+    seed: int = 0,
+) -> Tuple[MonoAligner, Dict[str, np.ndarray]]:
+    """Viterbi-EM refinement at senone granularity (the tri-pass analog).
+
+    Re-estimates per-senone GMM emissions from the tied alignment and
+    re-aligns with context-dependent graphs.  Returns the senone-level
+    acoustic model (a MonoAligner-shaped pdf bank) and the refined
+    alignments."""
+    from .mono import _estimate_from_alignment, align_utterance
+
+    rng = np.random.default_rng(seed)
+    spp = tied.mono.states_per_phone
+    ali = tied.senone_alignments(features, transcripts)
+    graphs = {
+        u: context_graph(tied.lexicon, transcripts[u], tied.tree, spp)
+        for u in features
+        if u in transcripts
+    }
+    model = None
+    for it in range(num_iters):
+        model = _estimate_from_alignment(
+            features, ali, tied.num_senones, comps_per_senone, (), spp, rng
+        )
+        ali = {u: align_utterance(model, graphs[u], features[u]) for u in graphs}
+    return model, ali
+
+
 def train_tied_aligner(
     features: Mapping[str, np.ndarray],
     transcripts: Mapping[str, Sequence[str]],

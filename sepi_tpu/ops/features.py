@@ -102,6 +102,45 @@ def _power_spectrum(windowed: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     return spec[..., :k] ** 2 + spec[..., k:] ** 2
 
 
+def fused_dft_basis(cfg: FrontendConfig) -> np.ndarray:
+    """DFT basis with DC-removal, preemphasis, and the window folded in.
+
+    All three frame-processing steps are linear maps of the raw frame, so
+    (in f64, exactly) they compose into ONE (flen, 2K) matrix:
+
+        spec = window ⊙ (P (f - mean(f) 1)) @ dft
+             = f @ [ (I - 1 1ᵀ/flen)ᵀ Pᵀ diag(w) dft ]
+
+    with P the frame-local preemphasis bidiagonal (P[0,0] uses Kaldi's
+    edge rule f[0] -= c*f[0]).  The fused spectral path then runs on raw
+    frames — no windowed tensor is ever materialized (saves two
+    (B, T, flen) elementwise passes on the extraction hot path).
+    """
+    flen = cfg.frame_length
+    base = dft_basis(cfg).astype(np.float64)
+    # window
+    from .framing import window_function
+
+    b1 = window_function(cfg).astype(np.float64)[:, None] * base
+    # preemphasis: f_pre = P f
+    c = cfg.preemphasis
+    if c:
+        p = np.eye(flen)
+        p[0, 0] = 1.0 - c
+        idx = np.arange(1, flen)
+        p[idx, idx - 1] = -c
+        b2 = p.T @ b1
+    else:
+        b2 = b1
+    # dc removal: f - mean(f)*1  ->  B - (1/flen) * 1 (1ᵀ B)
+    if cfg.remove_dc_offset:
+        col_sums = b2.sum(axis=0)
+        b3 = b2 - col_sums[None, :] / flen
+    else:
+        b3 = b2
+    return b3.astype(np.float32)
+
+
 class FeatureExtractor:
     """Precompiled MFCC/fbank pipeline for a fixed FrontendConfig.
 
@@ -115,6 +154,7 @@ class FeatureExtractor:
         self.cfg = cfg
         self._mel = jnp.asarray(mel_banks(cfg))
         self._dft = jnp.asarray(dft_basis(cfg))
+        self._fused = jnp.asarray(fused_dft_basis(cfg))
         self._dct = jnp.asarray(dct_matrix(cfg.num_ceps, cfg.num_mel_bins))
         self._lifter = jnp.asarray(lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter))
 
@@ -123,11 +163,34 @@ class FeatureExtractor:
         mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
         return jnp.log(jnp.maximum(mel, _EPS))
 
+    def _spectral(self, samples, lengths, max_frames, key):
+        """(log_mel, log_energy, mask) via the fused or the stepwise path.
+
+        Without dither the dc/preemph/window chain folds into the GEMM
+        basis (fused_dft_basis), so only the raw frames are materialized;
+        with dither (per-frame noise) the stepwise path runs.
+        """
+        cfg = self.cfg
+        if key is None and cfg.raw_energy:
+            from .framing import raw_frames
+
+            frames, mask = raw_frames(samples, lengths, cfg, max_frames)
+            s1 = jnp.sum(frames, axis=-1)
+            s2 = jnp.sum(frames * frames, axis=-1)
+            energy = s2 - s1 * s1 / cfg.frame_length if cfg.remove_dc_offset else s2
+            log_e = jnp.log(jnp.maximum(energy, _EPS))
+            power = _power_spectrum(frames, self._fused)
+            mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
+            log_mel = jnp.log(jnp.maximum(mel, _EPS))
+        else:
+            windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
+            log_mel = self._log_mel(windowed)
+        return log_mel, log_e, mask
+
     @partial(jax.jit, static_argnames=("self", "max_frames"))
     def _mfcc_impl(self, samples, lengths, max_frames, key):
         cfg = self.cfg
-        windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
-        log_mel = self._log_mel(windowed)
+        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
         ceps = jnp.dot(log_mel, self._dct, preferred_element_type=jnp.float32)
         ceps = ceps * self._lifter
         if cfg.use_energy:
@@ -139,8 +202,8 @@ class FeatureExtractor:
     @partial(jax.jit, static_argnames=("self", "max_frames"))
     def _fbank_impl(self, samples, lengths, max_frames, key):
         cfg = self.cfg
-        windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
-        out = self._log_mel(windowed)
+        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
+        out = log_mel
         if not cfg.use_log_fbank:
             out = jnp.exp(out)
         return out * mask[..., None], mask

@@ -202,6 +202,27 @@ def _gather_frames_fast(samples, lengths, cfg, max_frames):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_frames"))
+def raw_frames(
+    samples: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FrontendConfig,
+    max_frames: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Framing only (no dither/dc/preemph/window): (B, T, flen) + mask.
+
+    Feeds the fused spectral path where dc-removal/preemphasis/window are
+    folded into the DFT basis (features.fused_dft_basis)."""
+    samples = samples.astype(jnp.float32)
+    if max_frames >= 32:
+        frames = _gather_frames_fast(samples, lengths, cfg, max_frames)
+    else:
+        frames = _gather_frames_exact(samples, lengths, cfg, max_frames)
+    nf = num_frames(lengths, cfg)
+    mask = jnp.arange(max_frames)[None, :] < nf[:, None]
+    return frames, mask
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_frames"))
 def frame_signal(
     samples: jnp.ndarray,
     lengths: jnp.ndarray,

@@ -79,3 +79,51 @@ def test_run_v2_with_adaptation_and_conditions(tmp_path, corpus):
     assert "pooled" in res.conditions
     assert any(c.startswith("lang:") for c in res.conditions)
     assert res.pooled.num_target > 0
+
+
+def test_run_v1_driver(tmp_path, corpus):
+    from sepi_tpu.config import IvectorConfig, UbmConfig
+    from sepi_tpu.recipes.drivers import run_v1
+
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    res = run_v1(
+        corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
+        workdir=str(tmp_path),
+        ubm_cfg=UbmConfig(num_gauss=32, num_gselect=8, full_gselect=8,
+                          num_iters_init=4, num_iters_full=2, subsample=4),
+        iv_cfg=IvectorConfig(ivector_dim=8, num_iters=2),
+    )
+    assert res.pooled.num_target > 0
+    assert 0.0 <= res.pooled.eer <= 0.5
+
+
+def test_run_v4_and_v5_drivers(tmp_path, corpus):
+    from sepi_tpu.models import AdaptedConfig, AmConfig, CombinedConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+    from sepi_tpu.recipes.drivers import run_v4, run_v5
+
+    tiny_am = AmConfig(
+        feat_dim=23, num_senones=10,
+        specs=(TdnnSpec(16, (-2, -1, 0, 1, 2)), TdnnSpec(16, (-1, 0, 1)),
+               TdnnSpec(16, (-1, 0, 1)), TdnnSpec(16, (-3, 0, 3)),
+               TdnnSpec(8, (-6, -3, 0))),
+    )
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    res4 = run_v4(
+        corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
+        workdir=str(tmp_path / "v4"), am_cfg=tiny_am,
+        model_cfg=AdaptedConfig(num_speakers=6, am=tiny_am, embed_dim=24,
+                                hidden_dim=16, pool_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG,
+        am_steps=50, num_steps=100,
+    )
+    assert res4.pooled.eer < 0.35
+    res5 = run_v5(
+        corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
+        workdir=str(tmp_path / "v5"), am_cfg=tiny_am,
+        model_cfg=CombinedConfig(num_speakers=6, num_senones=10, am=tiny_am,
+                                 embed_dim=24, hidden_dim=16, pool_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG,
+        am_steps=50, num_steps=100,
+    )
+    assert res5.pooled.eer < 0.35

