@@ -79,15 +79,22 @@ def heldout_split(
 ) -> Tuple[Dataset, Dataset]:
     """Split off held-out diagnostic utterances (get_egs_xvec.sh:104-119):
     only speakers with enough utterances contribute, so no speaker
-    disappears from the training side."""
-    heldout = []
-    remaining_counts = {s: len(us) for s, us in dataset.spk2utt.items()}
+    disappears from the training side.  Augmented copies follow their
+    clean source (the utt2uniq contract): a whole uniq-group moves to the
+    held-out side together, never straddling the split."""
+    groups: Dict[str, list] = {}
     for u in dataset:
+        groups.setdefault(u.uniq_id or u.utt_id, []).append(u)
+    heldout: list = []
+    remaining_counts = {s: len(us) for s, us in dataset.spk2utt.items()}
+    for root in sorted(groups):
         if len(heldout) >= num_heldout_utts:
             break
-        if remaining_counts[u.spk_id] > min_per_spk:
-            heldout.append(u.utt_id)
-            remaining_counts[u.spk_id] -= 1
+        members = groups[root]
+        spk = members[0].spk_id
+        if remaining_counts[spk] > min_per_spk + len(members) - 1:
+            heldout.extend(m.utt_id for m in members)
+            remaining_counts[spk] -= len(members)
     held_set = set(heldout)
     return (
         dataset.filter(lambda u: u.utt_id not in held_set, f"{dataset.name}_train"),

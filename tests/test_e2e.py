@@ -167,3 +167,61 @@ def test_train_with_heldout_and_checkpoints(tmp_path, corpus, nosil):
         model_cfg.min_frames,
     )
     assert len(embs) == len(nosil)
+
+
+def test_heldout_split_keeps_uniq_groups_together():
+    """Augmented copies must land on the same side as their clean source."""
+    from sepi_tpu.data.manifest import Dataset, Utterance
+    from sepi_tpu.recipes.pipeline import heldout_split
+
+    utts = []
+    for s in range(3):
+        for i in range(4):
+            base = f"s{s}u{i}"
+            utts.append(Utterance(base, f"s{s}"))
+            utts.append(Utterance(f"{base}-noise", f"s{s}", uniq_id=base))
+    ds = Dataset(utts)
+    train, valid = heldout_split(ds, num_heldout_utts=4, min_per_spk=2)
+    assert len(valid) > 0
+    for u in valid:
+        root = u.uniq_id or u.utt_id
+        # every member of the group is in valid
+        for v in ds:
+            if (v.uniq_id or v.utt_id) == root:
+                assert v.utt_id in valid
+    assert len(train) + len(valid) == len(ds)
+
+
+def test_augmented_training_e2e(corpus, nosil):
+    """The v2 augmentation stage: clean + noise/reverb copies combined,
+    trained, and extracted — run_sre10.sh stages 2-5 in miniature."""
+    from sepi_tpu.data.augment import AugmentSpec, augment_dataset, synthetic_rir
+
+    rng = np.random.default_rng(17)
+    noises = {"noise": [rng.normal(size=8000).astype(np.float32) * 500]}
+    aug_ds, aug_audio = augment_dataset(
+        corpus.dataset, corpus.audio, [synthetic_rir()], noises,
+        specs=(AugmentSpec("reverb"), AugmentSpec("noise", (10.0,))),
+        seed=3,
+    )
+    combined = corpus.dataset.combine(aug_ds)
+    all_audio = {**corpus.audio, **aug_audio}
+    feats = prepare_features_nosil(all_audio)
+    train_cfg = TrainConfig(
+        optimizer=OptimizerConfig(initial_lr=0.02, final_lr=0.005, proportional_shrink=0.5),
+        chunks=ChunkConfig(min_chunk_len=50, max_chunk_len=100, num_buckets=2),
+        batch_size=24,
+    )
+    model_cfg = XVectorConfig(
+        feat_dim=23, num_speakers=8, frame_specs=TINY_SPECS, embed_dim=48
+    )
+    model, state, _ = train_xvector_model(
+        feats, combined, model_cfg, train_cfg, num_steps=120, num_heldout_utts=8
+    )
+    embs = extract_and_score(
+        model, state, {u: feats[u] for u in corpus.dataset.utt_ids},
+        ExtractConfig(chunk_size=400, batch_size=16), model_cfg.min_frames,
+    )
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    result, _ = backend_eval(embs, corpus.dataset, corpus.trials, enroll)
+    assert result.eer < 0.12, f"augmented-training EER {result.eer:.3f}"
