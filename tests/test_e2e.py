@@ -225,3 +225,26 @@ def test_augmented_training_e2e(corpus, nosil):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     result, _ = backend_eval(embs, corpus.dataset, corpus.trials, enroll)
     assert result.eer < 0.12, f"augmented-training EER {result.eer:.3f}"
+
+
+def test_edge_cases_tiny_audio():
+    """Degenerate inputs flow through the frontend without crashing."""
+    from sepi_tpu.data.sampler import ChunkSampler
+    from sepi_tpu.data.manifest import Dataset, Utterance
+
+    rng = np.random.default_rng(0)
+    audio = {
+        "tiny": rng.normal(size=100).astype(np.float32) * 100,  # 1 frame
+        "silent": np.zeros(4000, np.float32),  # VAD drops everything
+        "ok": rng.normal(size=8000).astype(np.float32) * 100,
+    }
+    feats = prepare_features_nosil(audio)
+    assert "ok" in feats
+    # silent utterance produces no voiced frames -> absent from output
+    assert "silent" not in feats or feats["silent"].shape[0] > 0
+
+    # sampler with nothing long enough raises a clear error
+    ds = Dataset([Utterance("ok", "s1")])
+    sampler = ChunkSampler({"ok": feats["ok"]}, ds, ChunkConfig(min_chunk_len=10_000, max_chunk_len=10_000, num_buckets=1), 4)
+    with pytest.raises(ValueError, match="no speaker has an utterance"):
+        sampler.sample_batch()
