@@ -19,6 +19,7 @@
 //
 // Exposed as a C ABI for ctypes (sepi_tpu/utils/kaldi_io.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -260,6 +261,89 @@ int ki_writer_put_matrix(KiWriter* w, const char* key, const float* data,
   write_basic_int32(w->ark, rows);
   write_basic_int32(w->ark, cols);
   fwrite(data, sizeof(float), (size_t)rows * cols, w->ark);
+  return ferror(w->ark) ? 2 : 0;
+}
+
+namespace {
+
+inline uint16_t cm_float_to_uint16(const CmGlobalHeader& h, float v) {
+  float f = (v - h.min_value) / (h.range > 0 ? h.range : 1.0f);
+  if (f < 0) f = 0;
+  if (f > 1) f = 1;
+  return (uint16_t)(f * 65535.0f + 0.499f);
+}
+
+inline uint8_t cm_float_to_char(float p0, float p25, float p75, float p100,
+                                float value) {
+  if (value < p25) {
+    if (p25 <= p0) return 0;
+    float f = (value - p0) / (p25 - p0) * 64.0f + 0.5f;
+    if (f < 0) f = 0;
+    if (f > 64) f = 64;
+    return (uint8_t)f;
+  } else if (value < p75) {
+    float f = (value - p25) / (p75 - p25) * 128.0f + 64.5f;
+    if (f < 64) f = 64;
+    if (f > 192) f = 192;
+    return (uint8_t)f;
+  } else {
+    if (p100 <= p75) return 192;
+    float f = (value - p75) / (p100 - p75) * 63.0f + 192.5f;
+    if (f < 192) f = 192;
+    if (f > 255) f = 255;
+    return (uint8_t)f;
+  }
+}
+
+}  // namespace
+
+// CompressedMatrix format 1 writer (uint8 per element, per-column
+// percentile headers).  Readable by Kaldi's CompressedMatrix and by
+// ki_read_matrix above; quantization error is ~range/256 per band.
+int ki_writer_put_compressed_matrix(KiWriter* w, const char* key,
+                                    const float* data, int32_t rows,
+                                    int32_t cols) {
+  if (!w) return 1;
+  ki_begin_entry(w, key);
+  fwrite("CM ", 1, 3, w->ark);
+  CmGlobalHeader h;
+  float mn = data[0], mx = data[0];
+  for (int64_t i = 0; i < (int64_t)rows * cols; i++) {
+    if (data[i] < mn) mn = data[i];
+    if (data[i] > mx) mx = data[i];
+  }
+  h.min_value = mn;
+  h.range = (mx > mn) ? (mx - mn) : 1.0f;
+  h.num_rows = rows;
+  h.num_cols = cols;
+  fwrite(&h, sizeof(h), 1, w->ark);
+
+  std::vector<CmPerColHeader> headers(cols);
+  std::vector<float> col(rows);
+  std::vector<uint8_t> bytes((size_t)rows * cols);
+  for (int32_t c = 0; c < cols; c++) {
+    for (int32_t r = 0; r < rows; r++) col[r] = data[(size_t)r * cols + c];
+    std::vector<float> sorted(col);
+    std::sort(sorted.begin(), sorted.end());
+    uint16_t q0 = cm_float_to_uint16(h, sorted[0]);
+    uint16_t q25 = cm_float_to_uint16(h, sorted[rows / 4]);
+    uint16_t q75 = cm_float_to_uint16(h, sorted[(3 * rows) / 4]);
+    uint16_t q100 = cm_float_to_uint16(h, sorted[rows - 1]);
+    // enforce strictly increasing like Kaldi (degenerate columns)
+    if (q25 <= q0) q25 = q0 + 1;
+    if (q75 <= q25) q75 = q25 + 1;
+    if (q100 <= q75) q100 = q75 + 1;
+    headers[c] = {q0, q25, q75, q100};
+    float p0 = cm_uint16_to_float(h, q0);
+    float p25 = cm_uint16_to_float(h, q25);
+    float p75 = cm_uint16_to_float(h, q75);
+    float p100 = cm_uint16_to_float(h, q100);
+    uint8_t* out = &bytes[(size_t)c * rows];
+    for (int32_t r = 0; r < rows; r++)
+      out[r] = cm_float_to_char(p0, p25, p75, p100, col[r]);
+  }
+  fwrite(headers.data(), sizeof(CmPerColHeader), cols, w->ark);
+  fwrite(bytes.data(), 1, bytes.size(), w->ark);
   return ferror(w->ark) ? 2 : 0;
 }
 

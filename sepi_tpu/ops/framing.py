@@ -151,10 +151,11 @@ def _gather_frames_fast(samples, lengths, cfg, max_frames):
     k_blocks = flen // g
 
     # left mirror pad (Kaldi convention: index -i-1, i.e. symmetric),
-    # right zero pad to slice capacity.
+    # right zero pad to g-aligned slice capacity.
     need = (max_frames - 1) * shift + flen
     n_pad = pad_l + n
     pad_r = max(need - n_pad, 0) + flen
+    pad_r += (-(n_pad + pad_r)) % g
     pieces = []
     if pad_l:
         pieces.append(samples[:, :pad_l][:, ::-1])
@@ -162,10 +163,14 @@ def _gather_frames_fast(samples, lengths, cfg, max_frames):
     pieces.append(jnp.zeros((b, pad_r), samples.dtype))
     x_pad = jnp.concatenate(pieces, axis=1)
 
-    parts = []
-    for j in range(k_blocks):
-        sl = jax.lax.dynamic_slice_in_dim(x_pad, j * g, max_frames * shift, axis=1)
-        parts.append(sl.reshape(b, max_frames, shift)[:, :, :g])
+    # View as g-sample block rows; frame t's j-th block is row
+    # j + (shift/g)*t — a strided row slice per j (no truncating
+    # sub-block slice, which lowers to slower strided copies).
+    rows = x_pad.reshape(b, -1, g)
+    s_blocks = shift // g
+    parts = [
+        rows[:, j : j + s_blocks * max_frames : s_blocks] for j in range(k_blocks)
+    ]
     frames = jnp.concatenate(parts, axis=-1)
 
     # Tail fix-up: frames whose window crosses the true end need the

@@ -71,6 +71,13 @@ def _load():
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.ki_writer_put_compressed_matrix.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         lib.ki_writer_put_vector.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -167,6 +174,17 @@ class ArkWriter:
         )
         if rc:
             raise IOError(f"put_matrix({key}) rc={rc}")
+
+    def put_compressed_matrix(self, key: str, x: np.ndarray) -> None:
+        """Write as Kaldi CompressedMatrix (format 1, ~8-bit lossy)."""
+        x = np.ascontiguousarray(x, np.float32)
+        rc = self._lib.ki_writer_put_compressed_matrix(
+            self._w, key.encode(),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[0], x.shape[1],
+        )
+        if rc:
+            raise IOError(f"put_compressed_matrix({key}) rc={rc}")
 
     def put_vector(self, key: str, x: np.ndarray) -> None:
         x = np.ascontiguousarray(x, np.float32)

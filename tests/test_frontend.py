@@ -320,3 +320,20 @@ def test_select_voiced_ali_parity(rng):
     out, mask = select_voiced_counts(ali, voiced)
     np.testing.assert_array_equal(np.asarray(out[:4]), [0, 20, 30, 60])
     assert np.all(np.asarray(out[4:]) == -1)
+
+
+@pytest.mark.parametrize("cfg", [
+    pytest.param(__import__("sepi_tpu.config", fromlist=["MFCC_HIRES"]).MFCC_HIRES.replace(dither=0.0), id="hires40"),
+    pytest.param(__import__("sepi_tpu.config", fromlist=["MFCC_SRE_IVECTOR"]).MFCC_SRE_IVECTOR.replace(dither=0.0), id="ivec20"),
+])
+def test_named_config_presets_match_oracle(rng, cfg):
+    """The reference conf-file presets (hires 40-bin, i-vector 20-cep)
+    run through the fused path and match the oracle."""
+    x = rng.normal(size=6000).astype(np.float32) * 100
+    feats, mask = FeatureExtractor(cfg).mfcc(x, None)
+    oracle = oracle_mfcc(x, cfg)
+    assert feats.shape == oracle.shape
+    np.testing.assert_allclose(np.asarray(feats), oracle, atol=0.5, rtol=0)
+    # hires: high_freq=-200 means nyquist-200
+    if cfg.high_freq < 0:
+        assert cfg.high_freq_hz == cfg.nyquist + cfg.high_freq

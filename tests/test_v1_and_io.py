@@ -240,3 +240,21 @@ def test_s_norm_improves_shifted_cohort(rng):
     zn = z_norm(non, cohort)
     normed = evaluate_scores(zt.ravel(), zn.ravel()).eer
     assert normed < raw
+
+
+def test_compressed_matrix_write_read_roundtrip(tmp_path, rng):
+    """Native CM writer -> native CM reader, ~8-bit accuracy."""
+    ark = str(tmp_path / "cm.ark")
+    scp = str(tmp_path / "cm.scp")
+    m = (rng.normal(size=(50, 13)) * 5 + 2).astype(np.float32)
+    const_col = np.full((50, 1), 3.25, np.float32)  # degenerate column
+    m = np.concatenate([m, const_col], axis=1)
+    with ArkWriter(ark, scp) as w:
+        w.put_compressed_matrix("utt", m)
+    table = dict(read_scp(scp))
+    out = read_matrix(*table["utt"])
+    assert out.shape == m.shape
+    rg = float(m.max() - m.min())
+    np.testing.assert_allclose(out, m, atol=rg * 0.05)
+    # constant column survives the strictly-increasing percentile guard
+    np.testing.assert_allclose(out[:, -1], 3.25, atol=rg * 0.02)
