@@ -63,6 +63,17 @@ class RunResult:
         return self.conditions["pooled"]
 
 
+def save_embeddings(utt_embeddings: Mapping[str, np.ndarray], workdir: str,
+                    name: str = "xvector") -> None:
+    """Persist embeddings as a Kaldi ark+scp pair (ivector-mean /
+    ivector-plda-scoring downstream tools can consume them directly)."""
+    from ..utils import ArkWriter
+
+    with ArkWriter(f"{workdir}/{name}.ark", f"{workdir}/{name}.scp") as w:
+        for utt in sorted(utt_embeddings):
+            w.put_matrix(utt, np.asarray(utt_embeddings[utt])[None, :])
+
+
 def _finish(
     utt_embeddings: Mapping[str, np.ndarray],
     train_dataset: Dataset,
@@ -72,7 +83,10 @@ def _finish(
     adapt_embeddings: Optional[np.ndarray],
     condition_fn,
     log,
+    workdir: Optional[str] = None,
 ) -> RunResult:
+    if workdir:
+        save_embeddings(utt_embeddings, workdir)
     result, art = pipeline.backend_eval(
         utt_embeddings, train_dataset, trials, enroll_spk2utt, backend_cfg,
         adapt_vectors=adapt_embeddings,
@@ -126,7 +140,7 @@ def run_v2(
         a = pipeline.extract_and_score(model, state, feats_adapt, extract_cfg, min_frames)
         adapt_embs = np.stack(list(a.values()))
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
-                   adapt_embs, condition_fn, log)
+                   adapt_embs, condition_fn, log, workdir)
 
 
 def run_v1(
@@ -163,7 +177,7 @@ def run_v1(
         a = extract_v1_ivectors(ubm, ext, fa, iv_cfg, ubm_cfg.full_gselect)
         adapt_embs = np.stack(list(a.values()))
     return _finish(ivecs, train_dataset, trials, enroll_spk2utt, backend_cfg,
-                   adapt_embs, condition_fn, log)
+                   adapt_embs, condition_fn, log, workdir)
 
 
 def _phonetic_common(train_audio, eval_audio, alignments, workdir, num_senones):
@@ -217,7 +231,7 @@ def run_v3(
         model_kwargs={"task": "xvec"},
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
-                   None, condition_fn, log)
+                   None, condition_fn, log, workdir)
 
 
 def run_v4(
@@ -259,7 +273,7 @@ def run_v4(
         model, state, {**feats_train, **feats_eval}, extract_cfg, l + r + 1
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
-                   None, condition_fn, log)
+                   None, condition_fn, log, workdir)
 
 
 def run_v5(
@@ -304,4 +318,4 @@ def run_v5(
         model_kwargs={"task": "xvec"},
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
-                   None, condition_fn, log)
+                   None, condition_fn, log, workdir)

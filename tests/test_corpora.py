@@ -111,3 +111,13 @@ def test_prefetch_loader(rng):
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
         next(it)
+
+
+def test_trials_save_load_roundtrip(tmp_path):
+    from sepi_tpu.data import Trial, load_trials, save_trials
+
+    trials = [Trial("m1", "t1", True), Trial("m2", "t2", False)]
+    p = str(tmp_path / "trials")
+    save_trials(trials, p)
+    back = load_trials(p)
+    assert back == trials

@@ -127,3 +127,23 @@ def test_run_v4_and_v5_drivers(tmp_path, corpus):
         am_steps=50, num_steps=100,
     )
     assert res5.pooled.eer < 0.35
+
+
+def test_driver_persists_embeddings(tmp_path, corpus):
+    """Drivers write embeddings as a Kaldi ark+scp (interop artifact)."""
+    import os
+
+    from sepi_tpu.utils import read_matrix, read_scp
+
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    res = run_v2(
+        corpus.dataset, corpus.audio, corpus.dataset, {}, corpus.trials, enroll,
+        workdir=str(tmp_path),
+        model_cfg=XVectorConfig(feat_dim=23, num_speakers=6, frame_specs=TINY_SPECS, embed_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=40,
+    )
+    assert os.path.exists(tmp_path / "xvector.scp")
+    table = dict(read_scp(str(tmp_path / "xvector.scp")))
+    assert set(table) == set(corpus.dataset.utt_ids)
+    emb = read_matrix(*table[corpus.dataset.utt_ids[0]])
+    assert emb.shape == (1, 32) and np.all(np.isfinite(emb))

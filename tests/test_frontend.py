@@ -337,3 +337,20 @@ def test_named_config_presets_match_oracle(rng, cfg):
     # hires: high_freq=-200 means nyquist-200
     if cfg.high_freq < 0:
         assert cfg.high_freq_hz == cfg.nyquist + cfg.high_freq
+
+
+def test_mfcc_dither_path(rng):
+    """Dithered extraction: stochastic per key, near the clean features."""
+    import jax
+
+    cfg = FrontendConfig(dither=1.0)
+    fe = FeatureExtractor(cfg)
+    x = (rng.normal(size=8000) * 1000).astype(np.float32)
+    f1, _ = fe.mfcc(x, None, key=jax.random.PRNGKey(0))
+    f2, _ = fe.mfcc(x, None, key=jax.random.PRNGKey(1))
+    clean, _ = FeatureExtractor(cfg.replace(dither=0.0)).mfcc(x, None)
+    a1, a2, c = map(np.asarray, (f1, f2, clean))
+    assert np.all(np.isfinite(a1))
+    assert not np.array_equal(a1, a2)  # different keys, different noise
+    # dither of 1.0 on int16-scale audio is a tiny perturbation
+    np.testing.assert_allclose(a1, c, atol=0.2)
