@@ -84,6 +84,60 @@ def main():
     audio_sec_per_s = batch * secs / dt
     print(f"# {dt*1e3:.1f} ms / batch of {batch}x{secs:.0f}s audio", file=sys.stderr)
 
+    # ---- training throughput (BENCH completeness, VERDICT r1 item 8):
+    # v2 x-vector step and the v5 multitask (am+xvec) step pair, full-size
+    # models, synced via fori_loop + host transfer like the extraction.
+    from sepi_tpu.config import OptimizerConfig
+    from sepi_tpu.models import CombinedConfig, CombinedCVector
+    from sepi_tpu.train import build_optimizer, create_train_state
+    from sepi_tpu.train.trainer import make_am_step, make_xvec_step
+
+    def time_loop(fn, state, *args, iters=10):
+        @jax.jit
+        def loop(state):
+            return jax.lax.fori_loop(
+                0, iters, lambda i, st: fn(st, *args), state
+            )
+
+        st = loop(state)
+        jax.tree.map(lambda a: a.block_until_ready(), st.params)
+        t0 = time.perf_counter()
+        st = loop(st)
+        jax.tree.map(lambda a: a.block_until_ready(), st.params)
+        return (time.perf_counter() - t0) / iters
+
+    tx, _ = build_optimizer(OptimizerConfig(), 1000)
+    chunk_len, tb = 200, 64
+    feats_v2 = jnp.asarray(rng.normal(size=(tb, chunk_len, 23)).astype(np.float32))
+    labels_v2 = jnp.asarray(rng.integers(0, 5000, size=tb).astype(np.int32))
+    state_v2 = create_train_state(model, tx, jax.random.PRNGKey(1), feats_v2)
+    v2_step = make_xvec_step(model, tx)
+    dt_v2 = time_loop(lambda st, f, l: v2_step(st, f, l, 1.0)[0],
+                      state_v2, feats_v2, labels_v2)
+    v2_train_tput = tb * chunk_len * 0.01 / dt_v2  # 10 ms frames -> audio s
+    print(f"# v2 train: {dt_v2*1e3:.2f} ms/step "
+          f"({v2_train_tput:.0f} audio-s/s)", file=sys.stderr)
+
+    v5_cfg = dataclasses.replace(CombinedConfig(), num_speakers=5000, num_senones=4000)
+    v5 = CombinedCVector(v5_cfg)
+    al, ar = v5_cfg.am_context
+    am_b, am_len = 128, 8
+    feats_am = jnp.asarray(
+        rng.normal(size=(am_b, am_len + al + ar, 23)).astype(np.float32))
+    labels_am = jnp.asarray(rng.integers(0, 4000, size=(am_b, am_len)).astype(np.int32))
+    state_v5 = create_train_state(
+        v5, tx, jax.random.PRNGKey(2), feats_v2, model_kwargs={"task": "both"})
+    am_step = make_am_step(v5, tx, task_kwargs={"task": "am"})
+    xv_step = make_xvec_step(v5, tx, task_kwargs={"task": "xvec"})
+
+    def v5_pair(st, fa, la, fx, lx):
+        st, _ = am_step(st, fa, la, 1.0)
+        st, _ = xv_step(st, fx, lx, 1.0)
+        return st
+
+    dt_v5 = time_loop(v5_pair, state_v5, feats_am, labels_am, feats_v2, labels_v2)
+    print(f"# v5 multitask pair: {dt_v5*1e3:.2f} ms/(am+xvec step)", file=sys.stderr)
+
     baseline = 1000.0  # 10x an assumed 100x-realtime Kaldi-CPU host
     print(
         json.dumps(
@@ -92,6 +146,11 @@ def main():
                 "value": round(audio_sec_per_s, 1),
                 "unit": "audio_seconds_per_second_per_chip",
                 "vs_baseline": round(audio_sec_per_s / baseline, 3),
+                "extra": {
+                    "v2_train_ms_per_step": round(dt_v2 * 1e3, 3),
+                    "v2_train_audio_s_per_s": round(v2_train_tput, 1),
+                    "v5_multitask_ms_per_step_pair": round(dt_v5 * 1e3, 3),
+                },
             }
         )
     )

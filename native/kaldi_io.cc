@@ -150,6 +150,38 @@ int ki_read_matrix(const char* path, long offset, int32_t* rows,
       *cols = h.num_cols;
       *out = data;
       rc = 0;
+    } else if (tok == "CM2" || tok == "CM3") {
+      // CompressedMatrix formats 2 (uint16/elem) and 3 (uint8/elem):
+      // global header only, row-major data, linear dequantization
+      // (kaldi compressed-matrix DataFormat kTwoByte / kOneByte).
+      CmGlobalHeader h;
+      if (!read_exact(f, &h, sizeof(h))) break;
+      if (h.num_rows < 0 || h.num_cols < 0) break;
+      size_t n = (size_t)h.num_rows * h.num_cols;
+      float* data = (float*)malloc(sizeof(float) * n);
+      if (!data) break;
+      bool ok = true;
+      if (tok == "CM2") {
+        std::vector<uint16_t> v(n);
+        ok = read_exact(f, v.data(), 2 * n);
+        if (ok)
+          for (size_t i = 0; i < n; i++)
+            data[i] = h.min_value + h.range * 1.52590218966964e-05f * v[i];
+      } else {
+        std::vector<uint8_t> v(n);
+        ok = read_exact(f, v.data(), n);
+        if (ok)
+          for (size_t i = 0; i < n; i++)
+            data[i] = h.min_value + h.range * (1.0f / 255.0f) * v[i];
+      }
+      if (!ok) {
+        free(data);
+        break;
+      }
+      *rows = h.num_rows;
+      *cols = h.num_cols;
+      *out = data;
+      rc = 0;
     }
   } while (0);
   fclose(f);
@@ -344,6 +376,33 @@ int ki_writer_put_compressed_matrix(KiWriter* w, const char* key,
   }
   fwrite(headers.data(), sizeof(CmPerColHeader), cols, w->ark);
   fwrite(bytes.data(), 1, bytes.size(), w->ark);
+  return ferror(w->ark) ? 2 : 0;
+}
+
+// CompressedMatrix format 2 writer (uint16 per element, row-major,
+// global-header linear quantization — kaldi kTwoByte).  ~range/65535
+// absolute error; the format modern Kaldi picks for small matrices.
+int ki_writer_put_compressed_matrix2(KiWriter* w, const char* key,
+                                     const float* data, int32_t rows,
+                                     int32_t cols) {
+  if (!w) return 1;
+  ki_begin_entry(w, key);
+  fwrite("CM2 ", 1, 4, w->ark);
+  CmGlobalHeader h;
+  float mn = data[0], mx = data[0];
+  for (int64_t i = 0; i < (int64_t)rows * cols; i++) {
+    if (data[i] < mn) mn = data[i];
+    if (data[i] > mx) mx = data[i];
+  }
+  h.min_value = mn;
+  h.range = (mx > mn) ? (mx - mn) : 1.0f;
+  h.num_rows = rows;
+  h.num_cols = cols;
+  fwrite(&h, sizeof(h), 1, w->ark);
+  size_t n = (size_t)rows * cols;
+  std::vector<uint16_t> v(n);
+  for (size_t i = 0; i < n; i++) v[i] = cm_float_to_uint16(h, data[i]);
+  fwrite(v.data(), 2, n, w->ark);
   return ferror(w->ark) ? 2 : 0;
 }
 

@@ -2,15 +2,19 @@ from .mono import (
     Lexicon,
     MonoAligner,
     align_corpus,
+    align_graphs,
     train_mono_aligner,
 )
-from .tied import TiedAligner, train_tied_aligner
+from .tied import RefineResult, TiedAligner, refine_tied_aligner, train_tied_aligner
 
 __all__ = [
     "Lexicon",
     "MonoAligner",
     "align_corpus",
+    "align_graphs",
     "train_mono_aligner",
     "TiedAligner",
     "train_tied_aligner",
+    "refine_tied_aligner",
+    "RefineResult",
 ]

@@ -248,8 +248,13 @@ def align_utterance(
     aligner: MonoAligner,
     graph: UttGraph,
     feats: np.ndarray,
+    return_states: bool = False,
 ) -> np.ndarray:
-    """Force-align one utterance -> per-frame pdf ids (T,)."""
+    """Force-align one utterance -> per-frame pdf ids (T,).
+
+    With ``return_states`` also returns the per-frame graph-state path,
+    from which block/phone identity is recoverable even when the graph's
+    pdf table holds tied senones (`align.tied.context_graph`)."""
     t_len = feats.shape[0]
     s_pad = _round_up(graph.num_states)
     pdf = np.zeros(s_pad, np.int32)
@@ -293,6 +298,8 @@ def align_utterance(
             f"unalignable utterance: {t_len} frames for {graph.num_states} states"
         )
     states = _backtrace(np.asarray(bps), preds, final, t_len)
+    if return_states:
+        return pdf[states], states
     return pdf[states]
 
 
@@ -385,8 +392,13 @@ def train_mono_aligner(
     states_per_phone: int = 3,
     comps_per_state: int = 2,
     seed: int = 0,
+    batched: bool = True,
 ) -> MonoAligner:
-    """Flat-start + Viterbi-EM monophone training (train_mono.sh analog)."""
+    """Flat-start + Viterbi-EM monophone training (train_mono.sh analog).
+
+    ``batched`` runs each EM re-alignment through the bucketed batched
+    Viterbi (a handful of XLA programs for the whole corpus instead of
+    one per utterance shape)."""
     rng = np.random.default_rng(seed)
     cache = _GraphCache(lexicon, states_per_phone)
     num_pdf = len(lexicon.phones) * states_per_phone
@@ -399,12 +411,12 @@ def train_mono_aligner(
     aligner = _estimate_from_alignment(
         features, alignments, num_pdf, 1, lexicon.phones, states_per_phone, rng
     )
+    aligned = {u: features[u] for u in alignments}
     for it in range(num_iters):
         comps = 1 if it < num_iters // 2 else comps_per_state
-        alignments = {
-            u: align_utterance(aligner, cache.get(transcripts[u]), features[u])
-            for u in alignments
-        }
+        alignments = align_corpus(
+            aligner, aligned, transcripts, lexicon, batched=batched
+        )
         aligner = _estimate_from_alignment(
             features, alignments, num_pdf, comps, lexicon.phones, states_per_phone, rng
         )
@@ -457,23 +469,31 @@ def _utt_tables(aligner: MonoAligner, graph: UttGraph, s_pad: int):
     return pdf, preds, trans
 
 
-def _align_corpus_batched(
-    aligner, features, transcripts, cache, batch_size, use_pallas
+def align_graphs(
+    aligner: MonoAligner,
+    graphs: Mapping[str, UttGraph],
+    features: Mapping[str, np.ndarray],
+    batch_size: int = 32,
+    use_pallas: Optional[bool] = None,
+    return_states: bool = False,
 ) -> Dict[str, np.ndarray]:
+    """Batched forced alignment over arbitrary per-utterance graphs.
+
+    The graph-based core of the s5-analog stage: monophone graphs and
+    tied-senone context graphs (`align.tied.context_graph`) share this
+    path — only the pdf tables differ.  Buckets utterances by padded
+    (T, S) so a handful of XLA programs cover the corpus; runs the Pallas
+    Viterbi on TPU, the vectorized scan elsewhere."""
     from .viterbi_pallas import viterbi_batch, viterbi_batch_reference
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     skip = aligner.states_per_phone + 1
-    utt_ids = [u for u in features if u in transcripts]
+    items = [(u, graphs[u], features[u].shape[0]) for u in features if u in graphs]
     # bucket by padded (T, S) so programs are reused
-    items = []
-    for u in utt_ids:
-        g = cache.get(transcripts[u])
-        t_len = features[u].shape[0]
-        items.append((u, g, t_len))
     items.sort(key=lambda x: (x[2], x[1].num_states))
     out: Dict[str, np.ndarray] = {}
+    states_out: Dict[str, np.ndarray] = {}
     for i0 in range(0, len(items), batch_size):
         group = items[i0 : i0 + batch_size]
         t_pad = _round_up(max(x[2] for x in group), 64)
@@ -508,4 +528,15 @@ def _align_corpus_batched(
                 )
             states = _backtrace(bps[j], preds, final, t_len)
             out[u] = pdf[states]
+            if return_states:
+                states_out[u] = states
+    if return_states:
+        return out, states_out
     return out
+
+
+def _align_corpus_batched(
+    aligner, features, transcripts, cache, batch_size, use_pallas
+) -> Dict[str, np.ndarray]:
+    graphs = {u: cache.get(transcripts[u]) for u in features if u in transcripts}
+    return align_graphs(aligner, graphs, features, batch_size, use_pallas)

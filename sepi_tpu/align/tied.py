@@ -312,6 +312,23 @@ def context_graph(
                     num_states=g.num_states)
 
 
+@dataclasses.dataclass
+class RefineResult:
+    """Output of the context-dependent re-alignment pass.
+
+    ``alignments`` are per-frame tied-senone ids; ``phone_alignments``
+    the per-frame phone indices recovered from the graph state path
+    (usable as ground-truth-comparable labels); ``frames_shifted`` the
+    per-iteration fraction of frames whose senone changed vs the
+    previous pass — the alignment-shift diagnostic the reference's
+    re-alignment stages log implicitly via per-iter accuracy."""
+
+    model: MonoAligner  # senone-level acoustic model (pdf bank)
+    alignments: Dict[str, np.ndarray]
+    phone_alignments: Dict[str, np.ndarray]
+    frames_shifted: List[float]
+
+
 def refine_tied_aligner(
     tied: TiedAligner,
     features: Mapping[str, np.ndarray],
@@ -319,30 +336,49 @@ def refine_tied_aligner(
     num_iters: int = 2,
     comps_per_senone: int = 2,
     seed: int = 0,
-) -> Tuple[MonoAligner, Dict[str, np.ndarray]]:
+    batched: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> RefineResult:
     """Viterbi-EM refinement at senone granularity (the tri-pass analog).
 
-    Re-estimates per-senone GMM emissions from the tied alignment and
-    re-aligns with context-dependent graphs.  Returns the senone-level
-    acoustic model (a MonoAligner-shaped pdf bank) and the refined
-    alignments."""
-    from .mono import _estimate_from_alignment, align_utterance
+    The context-dependent re-alignment loop the reference runs as
+    tri1 -> tri6a (`egs/sre/s5/run.sh:108-202`, `steps/align_si.sh`):
+    re-estimates per-senone GMM emissions from the tied alignment and
+    re-aligns with tied-pdf context graphs, iterating ``num_iters``
+    rounds.  fMLLR speaker transforms remain a documented deviation
+    (`steps/align_fmllr.sh` refines features, not the alignment
+    contract)."""
+    from .mono import _estimate_from_alignment, align_graphs
 
     rng = np.random.default_rng(seed)
     spp = tied.mono.states_per_phone
-    ali = tied.senone_alignments(features, transcripts)
+    ali = tied.senone_alignments(features, transcripts, batched=batched)
     graphs = {
         u: context_graph(tied.lexicon, transcripts[u], tied.tree, spp)
         for u in features
         if u in transcripts
     }
+    # per-state phone table (topology shared with the mono graph)
+    mono_cache = _GraphCache(tied.lexicon, spp)
+    state_phone = {
+        u: mono_cache.get(transcripts[u]).pdf // spp for u in graphs
+    }
     model = None
+    states: Dict[str, np.ndarray] = {}
+    shifts: List[float] = []
     for it in range(num_iters):
         model = _estimate_from_alignment(
             features, ali, tied.num_senones, comps_per_senone, (), spp, rng
         )
-        ali = {u: align_utterance(model, graphs[u], features[u]) for u in graphs}
-    return model, ali
+        new_ali, states = align_graphs(
+            model, graphs, features, use_pallas=use_pallas, return_states=True
+        )
+        changed = sum(int(np.sum(new_ali[u] != ali[u])) for u in new_ali)
+        total = sum(len(a) for a in new_ali.values())
+        shifts.append(changed / max(total, 1))
+        ali = new_ali
+    phones = {u: state_phone[u][states[u]] for u in states}
+    return RefineResult(model, ali, phones, shifts)
 
 
 def train_tied_aligner(
@@ -354,13 +390,15 @@ def train_tied_aligner(
     min_count: float = 100.0,
     states_per_phone: int = 3,
     seed: int = 0,
+    batched: bool = True,
 ) -> TiedAligner:
     """Mono training + context-stat collection + tree building."""
     mono = train_mono_aligner(
-        features, transcripts, lexicon, mono_iters, states_per_phone, seed=seed
+        features, transcripts, lexicon, mono_iters, states_per_phone, seed=seed,
+        batched=batched,
     )
     spp = states_per_phone
-    ali = align_corpus(mono, features, transcripts, lexicon)
+    ali = align_corpus(mono, features, transcripts, lexicon, batched=batched)
     cache = _GraphCache(lexicon, spp)
     d = next(iter(features.values())).shape[1]
 

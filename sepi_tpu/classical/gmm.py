@@ -162,10 +162,18 @@ def accumulate_stats(
     min_post: float = 0.0,
     full: bool = False,
     chunk: int = 4096,
+    valid: Optional[jnp.ndarray] = None,
 ) -> GmmStats:
-    """E-step accumulation over frames, chunked for bounded memory."""
+    """E-step accumulation over frames, chunked for bounded memory.
+
+    ``valid``: optional (N,) bool — rows marked False contribute nothing
+    (used by the sharded map-reduce path for cross-device padding)."""
     gmm = gmm_params
     xc, mask = _chunked(x, chunk)
+    if valid is not None:
+        n, c = x.shape[0], mask.shape[0] * mask.shape[1]
+        vp = jnp.pad(valid.astype(bool), (0, c - n))
+        mask = mask & vp.reshape(mask.shape)
 
     def one_chunk(args):
         xb, mb = args
@@ -197,6 +205,54 @@ def accumulate_stats(
     )
     out, _ = jax.lax.scan(scan_fn, init, (xc, mask))
     return out
+
+
+def accumulate_stats_sharded(
+    gmm_params,
+    x: jnp.ndarray,
+    mesh,
+    num_gselect: int = 0,
+    min_post: float = 0.0,
+    full: bool = False,
+    chunk: int = 4096,
+    axis: str = "data",
+) -> GmmStats:
+    """Map-reduce E-step over the device mesh — the TPU-native
+    `sid/train_ivector_extractor.sh:131-149` / `train_full_ubm.sh:97-108`
+    shape: frames shard across the ``axis`` devices, each device
+    accumulates its partial `GmmStats`, and one `psum` over ICI replaces
+    the 16-process `*-sum-accs` file tree-reduce.  The result is
+    replicated on every device and matches the single-device
+    `accumulate_stats` up to summation order."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    n = x.shape[0]
+    per = -(-n // n_dev)
+    xp = jnp.pad(jnp.asarray(x, jnp.float32), ((0, per * n_dev - n), (0, 0)))
+    valid = jnp.arange(per * n_dev) < n
+    local_chunk = min(chunk, per)
+
+    def local(xl, vl):
+        s = accumulate_stats(
+            gmm_params, xl, num_gselect, min_post, full, local_chunk, valid=vl
+        )
+        return jax.tree.map(lambda a: jax.lax.psum(a, axis), s)
+
+    # check_vma off: the scan carry inside accumulate_stats starts from
+    # replicated zeros and accumulates device-varying chunk stats, which
+    # the static varying-axis checker can't type; the psum above makes
+    # the output genuinely replicated.
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(axis, None), P(axis)), out_specs=P(),
+        check_vma=False,
+    )
+    return fn(xp, valid)
 
 
 # Components with fewer effective frames than this keep their previous

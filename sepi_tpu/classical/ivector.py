@@ -157,13 +157,16 @@ def stats_from_features(
     cfg: IvectorConfig = IvectorConfig(),
     num_gselect: int = 20,
     batch: int = 8,
+    posteriors: Optional[Mapping[str, np.ndarray]] = None,
 ) -> Tuple[List[str], IvectorStats]:
     """Compute per-utterance stats with UBM gselect posteriors.
 
-    Pads utterances to the max length per batch; the posterior callback
-    pattern also admits DNN posteriors (extract_ivectors_dnn.sh): pass a
-    ``ubm``-shaped object exposing log_likes, or precomputed posteriors
-    via `utterance_stats` directly.
+    Pads utterances to the max length per batch.  ``posteriors`` (utt ->
+    (T, K), frame-aligned with ``features``) replaces the UBM posteriors
+    entirely — the DNN/i-vector paired-stream split of
+    `train_ivector_extractor_dnn.sh` / `extract_ivectors_dnn.sh`, where
+    a senone net evaluated on hires features supplies the alignment of
+    frames to components while the sid features supply the stats.
     """
     utt_ids = sorted(features)
     all_stats: Optional[IvectorStats] = None
@@ -177,10 +180,24 @@ def stats_from_features(
             f = features[u]
             feats[j, : f.shape[0]] = f
             mask[j, : f.shape[0]] = True
-        ll = jax.vmap(ubm.log_likes)(jnp.asarray(feats))
-        post = jax.vmap(
-            lambda l: gselect_posteriors(l, num_gselect, cfg.min_post)
-        )(ll)
+        if posteriors is not None:
+            k = next(iter(posteriors.values())).shape[1]
+            post = np.zeros((len(group), t_max, k), np.float32)
+            for j, u in enumerate(group):
+                p = posteriors[u]
+                if p.shape[0] != features[u].shape[0]:
+                    raise ValueError(
+                        f"{u}: posteriors rows {p.shape[0]} != frames "
+                        f"{features[u].shape[0]} (paired streams must be "
+                        "frame-aligned)"
+                    )
+                post[j, : p.shape[0]] = p
+            post = jnp.asarray(post)
+        else:
+            ll = jax.vmap(ubm.log_likes)(jnp.asarray(feats))
+            post = jax.vmap(
+                lambda l: gselect_posteriors(l, num_gselect, cfg.min_post)
+            )(ll)
         s = utterance_stats(ext, jnp.asarray(feats), jnp.asarray(mask), post)
         all_stats = s if all_stats is None else all_stats + s
     return utt_ids, all_stats

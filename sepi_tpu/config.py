@@ -168,6 +168,12 @@ class TrainConfig:
     am_batch_size: int = 256  # multitask AM minibatch (minibatch='256;64')
     am_weight: float = 1.0
     xvec_weight: float = 1.0
+    # Multitask stream accounting (get_egs_xvec.sh:126-143): the am:xvec
+    # example ratio is data-driven — am egs = frames/frames_per_eg, xvec
+    # egs = repeats_per_spk x speakers, archives locked together.  None
+    # picks repeats_per_spk so the two streams' batch counts balance
+    # (what the reference's hand-tuned 7500 achieves at its scale).
+    repeats_per_spk: int = 0  # 0 = auto-balance
     seed: int = 123
     steps_per_eval: int = 100
     checkpoint_every: int = 100
@@ -231,6 +237,28 @@ class IvectorConfig:
     num_iters: int = 5
     min_post: float = 0.025
     posterior_scale: float = 1.0
+
+    replace = _replace
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """s5-analog aligner stage (egs/sre/s5/run.sh:108-202 capability).
+
+    Monophone Viterbi-EM (`steps/train_mono.sh`), likelihood-based state
+    tying to ``num_leaves`` senones (tri6a's 5000-leaf tree), then
+    ``refine_iters`` rounds of context-dependent re-alignment with
+    per-senone GMMs (`steps/align_si.sh` semantics; fMLLR is a
+    documented deviation).
+    """
+
+    num_leaves: int = 4096  # tri6a_4k
+    mono_iters: int = 4
+    refine_iters: int = 2
+    min_count: float = 100.0  # min frames per tied leaf
+    states_per_phone: int = 3
+    comps_per_senone: int = 2
+    seed: int = 0
 
     replace = _replace
 

@@ -99,3 +99,52 @@ class AudioStore:
             for u in dataset
             if u.wav is not None
         }
+
+
+def extract_segments(
+    recordings,
+    dataset,
+    sample_rate: int,
+    min_segment_length: float = 0.1,
+    max_overshoot: float = 0.5,
+):
+    """Crop recording audio into per-utterance segments — the
+    `extract-segments` binary's semantics on in-memory arrays.
+
+    Args:
+      recordings: recording_id -> (N,) samples (the wav.scp payloads).
+      dataset: manifest whose utterances carry (recording, start, end);
+        rows without segment info pass through via their own wav/utt id.
+      sample_rate: Hz of the recordings.
+      min_segment_length: segments shorter than this many seconds are
+        skipped with a warning-by-omission (Kaldi --min-segment-length).
+      max_overshoot: how far (s) ``end`` may exceed the recording before
+        the row is rejected; within tolerance it is clamped
+        (Kaldi --max-overshoot).
+    Returns: utt_id -> samples.
+    """
+    out = {}
+    for u in dataset:
+        if u.start is None and u.end is None:
+            key = u.recording or u.utt_id
+            if key in recordings:
+                out[u.utt_id] = recordings[key]
+            continue
+        rec = u.recording or u.wav
+        if rec not in recordings:
+            raise KeyError(f"{u.utt_id}: recording {rec!r} not supplied")
+        x = recordings[rec]
+        n = len(x)
+        if u.end - u.start < min_segment_length:
+            continue
+        if u.end * sample_rate > n + max_overshoot * sample_rate:
+            raise ValueError(
+                f"{u.utt_id}: segment end {u.end}s overshoots recording "
+                f"({n / sample_rate:.2f}s) beyond max_overshoot"
+            )
+        i0 = int(round(u.start * sample_rate))
+        i1 = min(int(round(u.end * sample_rate)), n)
+        if i1 - i0 < int(min_segment_length * sample_rate):
+            continue
+        out[u.utt_id] = x[i0:i1]
+    return out

@@ -84,9 +84,20 @@ def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
     u2nf = read_map("utt2num_frames")
     u2dur = read_map("utt2dur")
     u2uniq = read_map("utt2uniq")
+    # segments: utt_id recording_id start end — wav.scp is then keyed by
+    # recording (the form augment_data_dir_new.py exists to preserve)
+    segments = {}
+    seg_path = os.path.join(path, "segments")
+    if os.path.exists(seg_path):
+        with open(seg_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 4:
+                    segments[parts[0]] = (parts[1], float(parts[2]), float(parts[3]))
     utts = []
     for utt_id, spk in utt2spk.items():
-        w = wav.get(utt_id)
+        rec, start, end = segments.get(utt_id, (utt_id, None, None))
+        w = wav.get(rec)
         if w is None:
             continue
         if w.endswith("|"):
@@ -94,12 +105,18 @@ def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
                 f"{utt_id}: wav.scp command pipeline {w!r} not supported — "
                 "materialize to wav files first"
             )
+        dur = float(u2dur[utt_id]) if utt_id in u2dur else None
+        if dur is None and start is not None:
+            dur = end - start
         utts.append(
             Utterance(
                 utt_id, spk, wav=w,
                 num_frames=int(u2nf[utt_id]) if utt_id in u2nf else None,
-                duration=float(u2dur[utt_id]) if utt_id in u2dur else None,
+                duration=dur,
                 uniq_id=u2uniq.get(utt_id),
+                recording=rec if utt_id in segments else None,
+                start=start,
+                end=end,
             )
         )
     return Dataset(utts, name or os.path.basename(path))

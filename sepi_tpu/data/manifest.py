@@ -43,6 +43,13 @@ class Utterance:
     num_frames: Optional[int] = None  # after front-end (utt2num_frames)
     duration: Optional[float] = None  # seconds (utt2dur)
     uniq_id: Optional[str] = None  # clean-source id for augmented copies (utt2uniq)
+    # Segments support (the `segments` file + extract-segments semantics
+    # the reference's augment_data_dir_new.py exists to preserve): an
+    # utterance may be a [start, end) second range of a longer recording;
+    # `wav` then refers to the recording's audio.
+    recording: Optional[str] = None  # recording id (segments col 2)
+    start: Optional[float] = None  # segment start, seconds
+    end: Optional[float] = None  # segment end, seconds
     meta: Tuple[Tuple[str, str], ...] = ()  # free-form (gender, language, ...)
 
     def get_meta(self, key: str, default=None):
@@ -160,6 +167,11 @@ class Dataset:
                 raise ValueError(f"{u.utt_id}: no audio source")
             if u.num_samples is not None and u.num_samples < 0:
                 raise ValueError(f"{u.utt_id}: negative num_samples")
+            if u.start is not None or u.end is not None:
+                if u.start is None or u.end is None or not 0 <= u.start < u.end:
+                    raise ValueError(
+                        f"{u.utt_id}: bad segment [{u.start}, {u.end})"
+                    )
 
     # -- persistence --------------------------------------------------
     def save(self, path: str) -> None:

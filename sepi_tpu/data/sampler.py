@@ -94,6 +94,12 @@ class ChunkSampler:
             rows = [(u, features[u].shape[0]) for u in utt_ids if u in features]
             if rows:
                 self._spk_utts[lab] = rows
+        # Persistent per-bucket speaker rotations: one full pass visits
+        # every eligible speaker exactly once (the num_repeats-per-speaker
+        # accounting of allocate_egs_new.py:252-268 — an archive holds
+        # num_repeats examples of EVERY speaker, not a multinomial draw).
+        self._queues: Dict[int, List[int]] = {}
+        self.draw_counts: Dict[int, int] = {lab: 0 for lab in self._spk_utts}
 
     def eligible_speakers(self, chunk_len: int) -> List[int]:
         return [
@@ -102,24 +108,36 @@ class ChunkSampler:
             if any(n >= chunk_len for _, n in rows)
         ]
 
+    def _next_speakers(self, chunk_len: int, count: int) -> List[int]:
+        """Draw ``count`` speakers from the bucket's persistent rotation,
+        reshuffling each time the eligible list is exhausted — exact
+        per-speaker balance over any whole number of passes."""
+        out: List[int] = []
+        q = self._queues.get(chunk_len, [])
+        while len(out) < count:
+            if not q:
+                eligible = self.eligible_speakers(chunk_len)
+                if not eligible:
+                    raise ValueError(
+                        f"no speaker has an utterance >= {chunk_len} frames"
+                    )
+                q = list(self.rng.permutation(eligible))
+            out.append(int(q.pop()))
+        self._queues[chunk_len] = q
+        return out
+
     def sample_batch(self, chunk_len: Optional[int] = None) -> ChunkBatch:
         if chunk_len is None:
             chunk_len = int(self.rng.choice(self.buckets))
-        speakers = self.eligible_speakers(chunk_len)
-        if not speakers:
-            raise ValueError(f"no speaker has an utterance >= {chunk_len} frames")
         feats = np.zeros((self.batch_size, chunk_len, self.feat_dim), np.float32)
         labels = np.zeros((self.batch_size,), np.int32)
-        # Speaker-balanced: cycle a shuffled speaker list (num_repeats
-        # semantics: across batches every eligible speaker is hit evenly).
-        order = self.rng.permutation(speakers)
-        for b in range(self.batch_size):
-            lab = int(order[b % len(order)])
+        for b, lab in enumerate(self._next_speakers(chunk_len, self.batch_size)):
             rows = [(u, n) for u, n in self._spk_utts[lab] if n >= chunk_len]
             utt, n = rows[int(self.rng.integers(len(rows)))]
             off = int(self.rng.integers(n - chunk_len + 1))
             feats[b] = self._features[utt][off : off + chunk_len]
             labels[b] = lab
+            self.draw_counts[lab] += 1
         return ChunkBatch(feats, labels, chunk_len, task="xvec")
 
     def __iter__(self) -> Iterator[ChunkBatch]:

@@ -12,7 +12,7 @@ on it, and a broken one won't.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -58,6 +58,139 @@ def _utterance(
     x = x * np.where(seg, 1.0, 0.02).astype(np.float32)
     x = x / (np.std(x) + 1e-8)
     return (x * 8000.0).astype(np.float32)  # int16-ish scale, like wav input
+
+
+@dataclasses.dataclass
+class PhoneticCorpus:
+    """A synthetic corpus with known phone structure: audio + transcripts
+    + lexicon, for end-to-end aligner-driven (s5 -> v3/v4/v5) runs."""
+
+    corpus: SyntheticCorpus
+    transcripts: Dict[str, List[str]]  # utt_id -> word sequence
+    lexicon: "object"  # align.Lexicon (imported lazily to avoid jax at module load)
+
+    @property
+    def dataset(self) -> Dataset:
+        return self.corpus.dataset
+
+    @property
+    def audio(self) -> Dict[str, np.ndarray]:
+        return self.corpus.audio
+
+    @property
+    def trials(self) -> List[Trial]:
+        return self.corpus.trials
+
+
+def _phone_filter(freqs, bws, sample_rate: int) -> np.ndarray:
+    """64-tap FIR resonator bank — one per phone, shared across speakers."""
+    t = np.arange(64) / sample_rate
+    h = np.zeros(64)
+    for f, bw in zip(freqs, bws):
+        h += np.exp(-np.pi * bw * t) * np.cos(2 * np.pi * f * t)
+    return (h / np.max(np.abs(h))).astype(np.float32)
+
+
+def make_phonetic_corpus(
+    num_speakers: int = 6,
+    utts_per_speaker: int = 5,
+    sample_rate: int = 8000,
+    seed: int = 0,
+    name: str = "synth_phone",
+    words_per_utt: Tuple[int, int] = (2, 4),
+    phone_ms: Tuple[int, int] = (90, 160),
+    sil_ms: Tuple[int, int] = (120, 280),
+):
+    """Synthetic corpus whose utterances are word sequences of phone
+    segments with known acoustics (the s5 conformance world).
+
+    Each phone is a fixed formant filter shared across speakers; each
+    speaker adds its own pitch and a mild spectral-tilt filter on top, so
+    both phone identity (for the aligner) and speaker identity (for the
+    embedding) are recoverable from MFCCs.  Inter-word gaps are low-energy
+    silence, exercising the optional-silence arcs of the alignment graph
+    and the VAD strip / select-voiced-ali invariant downstream.
+    """
+    from ..align.mono import Lexicon
+
+    rng = np.random.default_rng(seed)
+    # Phone inventory: distinct formant pairs spread over the band.
+    phone_names = ["aa", "ee", "oo", "kk", "ss", "tt", "mm", "rr"]
+    filters = {}
+    for i, p in enumerate(phone_names):
+        f1 = 350 + 380 * i + rng.uniform(-40, 40)
+        f2 = 3400 - 330 * i + rng.uniform(-40, 40)
+        filters[p] = _phone_filter([f1, f2], [120.0, 160.0], sample_rate)
+    pron = {
+        "bab": ["aa", "kk", "aa"],
+        "dee": ["ee", "tt"],
+        "moo": ["mm", "oo"],
+        "sore": ["ss", "oo", "rr"],
+        "keet": ["kk", "ee", "tt"],
+        "rass": ["rr", "aa", "ss"],
+    }
+    lexicon = Lexicon.from_dict(pron)
+
+    utts: List[Utterance] = []
+    audio: Dict[str, np.ndarray] = {}
+    transcripts: Dict[str, List[str]] = {}
+    word_list = sorted(pron)
+    for s in range(num_speakers):
+        spk = f"spk{s:03d}"
+        f0 = rng.uniform(90, 240)
+        spk_h = _speaker_filter(rng, sample_rate)
+        for u in range(utts_per_speaker):
+            utt_id = f"{spk}-utt{u:03d}"
+            n_words = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
+            words = [word_list[int(rng.integers(len(word_list)))] for _ in range(n_words)]
+            segs: List[np.ndarray] = []
+
+            def sil_seg():
+                n = int(rng.integers(*sil_ms) * sample_rate // 1000)
+                # quiet enough that the energy VAD marks it unvoiced
+                return 0.003 * rng.standard_normal(n).astype(np.float32)
+
+            segs.append(sil_seg())
+            period = max(int(sample_rate / f0), 8)
+            for wi, w in enumerate(words):
+                for p in pron[w]:
+                    n = int(rng.integers(*phone_ms) * sample_rate // 1000)
+                    exc = np.zeros(n, np.float32)
+                    exc[::period] = 1.0
+                    exc += 0.05 * rng.standard_normal(n).astype(np.float32)
+                    x = np.convolve(exc, filters[p], mode="same")
+                    x = np.convolve(x, 0.25 * spk_h + 0.75 * _DELTA64, mode="same")
+                    segs.append(x.astype(np.float32))
+                if wi < len(words) - 1 and rng.random() < 0.7:
+                    segs.append(sil_seg())
+            segs.append(sil_seg())
+            x = np.concatenate(segs)
+            x = x / (np.std(x) + 1e-8) * 8000.0
+            audio[utt_id] = x.astype(np.float32)
+            transcripts[utt_id] = words
+            utts.append(
+                Utterance(
+                    utt_id=utt_id,
+                    spk_id=spk,
+                    wav=f"synth:{utt_id}",
+                    num_samples=len(x),
+                    sample_rate=sample_rate,
+                    duration=len(x) / sample_rate,
+                )
+            )
+    ds = Dataset(utts, name)
+    trials: List[Trial] = []
+    spk2utt = ds.spk2utt
+    for model_spk in ds.speakers:
+        for test_spk in ds.speakers:
+            for test_utt in spk2utt[test_spk][1:]:
+                trials.append(Trial(model_spk, test_utt, model_spk == test_spk))
+    return PhoneticCorpus(SyntheticCorpus(ds, audio, sample_rate, trials), transcripts, lexicon)
+
+
+# identity kernel used to mix the speaker filter at partial strength
+_DELTA64 = np.zeros(64, np.float32)
+_DELTA64[0] = 1.0
 
 
 def make_synthetic_corpus(

@@ -2,6 +2,8 @@ from .det import (
     DetCurve,
     compute_det,
     eer,
+    export_det_curve,
+    ppndf,
     min_dcf,
     SRE08_DCF,
     SRE10_DCF,
@@ -13,6 +15,8 @@ __all__ = [
     "DetCurve",
     "compute_det",
     "eer",
+    "export_det_curve",
+    "ppndf",
     "min_dcf",
     "SRE08_DCF",
     "SRE10_DCF",

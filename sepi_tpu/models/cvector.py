@@ -256,6 +256,25 @@ class CombinedConfig:
     hidden_dim: int = 512
     pool_dim: int = 1500
 
+    @property
+    def am_context(self) -> Tuple[int, int]:
+        """Context of the multitask AM head (shared tdnn1 + am branch) —
+        the frame-egs context for the am task (vars_am analog)."""
+        return stack_context(_prefix(self.hidden_dim)[:1] + _am_branch(1, self.hidden_dim))
+
+    @property
+    def xvec_context(self) -> Tuple[int, int]:
+        """Context of the embedding path: the xvec branch merges with the
+        pretrained AM's bottleneck stream, so its receptive field is the
+        elementwise max of the two (Stream accounting, vars_xvec analog —
+        with default specs (13, 7), dominated by the AM feed)."""
+        xl, xr = stack_context(
+            _prefix(self.hidden_dim)[:1]
+            + _xvec_branch(1, self.hidden_dim, self.pool_dim)[:-1]
+        )
+        al, ar = self.am.context
+        return (max(xl, al), max(xr, ar))
+
 
 V5_COMBINED = CombinedConfig()
 

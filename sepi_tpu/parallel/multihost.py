@@ -26,14 +26,36 @@ def initialize(
 ) -> None:
     """Bring up the multi-host runtime (no-op if already initialized or
     single-host).  On TPU pods with standard env vars, bare
-    ``initialize()`` autodetects everything."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    ``initialize()`` autodetects everything.
+
+    Ordering matters: `jax.distributed.initialize` must run before
+    ANYTHING touches the local backend — `jax.devices()`,
+    `jax.process_count()`, even an innocent array op — because backend
+    initialization is irreversible and distributed init would then fail
+    (the lesson recorded in `__graft_entry__.py` / commit 3223e46).  So
+    no backend-probing pre-checks here; we ask the distributed client
+    itself whether it is already up.
+
+    Failure policy: an *explicit* multi-host request (coordinator
+    address given, or num_processes > 1) must never silently degrade to
+    disconnected single-host runs — errors propagate.  Only bare
+    auto-detect ``initialize()`` falls back to local single-host.
+    """
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
+    explicit = coordinator_address is not None or (num_processes or 0) > 1
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    except (ValueError, RuntimeError):
-        # single-host / already-initialized: run local
-        pass
+    except Exception as e:
+        if explicit:
+            raise RuntimeError(
+                "multi-host jax.distributed.initialize failed for an "
+                f"explicit {num_processes}-process launch "
+                f"(coordinator={coordinator_address!r}); refusing to "
+                "degrade to a disconnected single-host run"
+            ) from e
+        # bare auto-detect on a single host: run local
 
 
 def is_primary() -> bool:

@@ -92,6 +92,20 @@ def _finish(
         adapt_vectors=adapt_embeddings,
     )
     conds = evaluate_conditions(art["scores"], trials, condition_fn)
+    if workdir:
+        # DET curve artifact in probit coordinates (Plot_DET.m analog)
+        from ..metrics.det import compute_det, export_det_curve, split_scores_by_trials
+
+        pairs = [
+            (t.model, t.test, t.target)
+            for t in trials
+            if (t.model, t.test) in art["scores"]
+        ]
+        tgt, non = split_scores_by_trials(art["scores"], pairs)
+        if len(tgt) and len(non):
+            curve = compute_det(tgt, non)
+            export_det_curve(curve, f"{workdir}/det_pooled.txt")
+            export_det_curve(curve, f"{workdir}/det_pooled.svg")
     report = format_report(conds)
     if log:
         for line in report.splitlines():
@@ -155,49 +169,125 @@ def run_v1(
     backend_cfg: Optional[BackendConfig] = None,
     adapt_audio: Optional[Mapping[str, np.ndarray]] = None,
     condition_fn=None,
+    posterior_provider=None,
 ) -> RunResult:
+    """GMM/i-vector (run_sre10.sh) or, with ``posterior_provider``, the
+    DNN/i-vector variant (run_sre10_nnet2.sh): the provider maps a dict
+    of 40-dim hires features to senone posterior dicts (e.g.
+    `functools.partial(nnet2_recipe.nnet2_posteriors, model, state)`);
+    UBM/T-matrix stats then come from the paired 20-dim sid stream with
+    those posteriors (`init_full_ubm_from_dnn.sh:100-116`)."""
     cache = ArtifactCache(workdir)
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     backend_cfg = backend_cfg or BackendConfig(lda_dim=200)  # v1 uses 200
 
-    feats_train = cache.stage(
-        "ivec_feats_train", [train_dataset.name, sorted(train_audio)],
-        lambda: prepare_features_ivector(train_audio), log=print,
-    )
-    feats_eval = cache.stage(
-        "ivec_feats_eval", [sorted(eval_audio)],
-        lambda: prepare_features_ivector(eval_audio), log=print,
-    )
-    ubm, ext = train_v1_frontend(feats_train, ubm_cfg, iv_cfg)
+    if posterior_provider is None:
+        feats_train = cache.stage(
+            "ivec_feats_train", [train_dataset.name, sorted(train_audio)],
+            lambda: prepare_features_ivector(train_audio), log=print,
+        )
+        feats_eval = cache.stage(
+            "ivec_feats_eval", [sorted(eval_audio)],
+            lambda: prepare_features_ivector(eval_audio), log=print,
+        )
+        post_train = post_all = None
+    else:
+        from .nnet2_recipe import prepare_paired_features
+
+        def _paired(audio):
+            sid, hires = prepare_paired_features(audio)
+            return {"sid": sid, "hires": hires}
+
+        pt = cache.stage(
+            "paired_feats_train", [train_dataset.name, sorted(train_audio)],
+            lambda: _paired(train_audio), log=print,
+        )
+        pe = cache.stage(
+            "paired_feats_eval", [sorted(eval_audio)],
+            lambda: _paired(eval_audio), log=print,
+        ) if eval_audio else {"sid": {}, "hires": {}}
+        feats_train = {k: np.asarray(v, np.float32) for k, v in pt["sid"].items()}
+        feats_eval = {k: np.asarray(v, np.float32) for k, v in pe["sid"].items()}
+        hires = {
+            **{k: np.asarray(v, np.float32) for k, v in pt["hires"].items()},
+            **{k: np.asarray(v, np.float32) for k, v in pe["hires"].items()},
+        }
+        post_all = posterior_provider(hires)
+        post_train = {u: post_all[u] for u in feats_train}
+    ubm, ext = train_v1_frontend(feats_train, ubm_cfg, iv_cfg,
+                                 posteriors=post_train)
     ivecs = extract_v1_ivectors(ubm, ext, {**feats_train, **feats_eval}, iv_cfg,
-                                ubm_cfg.full_gselect)
+                                ubm_cfg.full_gselect, posteriors=post_all)
     adapt_embs = None
     if adapt_audio is not None:
-        fa = prepare_features_ivector(adapt_audio)
-        a = extract_v1_ivectors(ubm, ext, fa, iv_cfg, ubm_cfg.full_gselect)
+        if posterior_provider is None:
+            fa = prepare_features_ivector(adapt_audio)
+            pa = None
+        else:
+            from .nnet2_recipe import prepare_paired_features
+
+            fa, ha = prepare_paired_features(adapt_audio)
+            pa = posterior_provider(ha)
+        a = extract_v1_ivectors(ubm, ext, fa, iv_cfg, ubm_cfg.full_gselect,
+                                posteriors=pa)
         adapt_embs = np.stack(list(a.values()))
     return _finish(ivecs, train_dataset, trials, enroll_spk2utt, backend_cfg,
                    adapt_embs, condition_fn, log, workdir)
 
 
-def _phonetic_common(train_audio, eval_audio, alignments, workdir, num_senones):
+def _phonetic_common(train_audio, eval_audio, alignments, workdir,
+                     transcripts=None, lexicon=None, align_cfg=None):
+    """Shared v3/v4/v5 front half: nosil features + senone alignments.
+
+    Alignment provider precedence (matching the reference's data flow,
+    `egs/sre/v3/run_sre10.sh:60-84` consuming `egs/sre/s5` output):
+      1. caller-supplied ``alignments`` (the exp/tri6a_4k_ali analog as
+         an input artifact — already VAD-stripped to match nosil feats);
+      2. ``transcripts`` + ``lexicon``: run the built-in s5 stage
+         (recipes.s5.run_s5) on with-silence features, then VAD-strip
+         labels and features with the same masks.
+    Returns (cache, feats_train, feats_eval, alignments, num_senones).
+    """
+    from ..config import AlignConfig
+    from .s5 import run_s5, select_voiced_ali
+
     cache = ArtifactCache(workdir)
-    feats_train = cache.stage(
-        "feats_train", [sorted(train_audio)],
-        lambda: pipeline.prepare_features_nosil(train_audio), log=print,
-    )
     feats_eval = cache.stage(
         "feats_eval", [sorted(eval_audio)],
         lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
     )
-    if alignments is None:
-        alignments = cache.stage(
-            "pseudo_ali", [sorted(feats_train), num_senones],
-            lambda: phonetic.pseudo_senone_alignments(feats_train, num_senones),
-            log=print,
+    if alignments is not None:
+        feats_train = cache.stage(
+            "feats_train", [sorted(train_audio)],
+            lambda: pipeline.prepare_features_nosil(train_audio), log=print,
         )
-        alignments = {k: np.asarray(v, np.int32) for k, v in alignments.items()}
-    return cache, feats_train, feats_eval, alignments
+    elif transcripts is not None and lexicon is not None:
+        align_cfg = align_cfg or AlignConfig()
+
+        def _s5_stage():
+            pf = pipeline.prepare_features_phonetic(train_audio)
+            s5 = run_s5(pf.full, transcripts, lexicon, align_cfg, log=print)
+            ali = select_voiced_ali(s5.alignments, pf.voiced)
+            return {"feats": pf.nosil, "ali": ali}
+
+        art = cache.stage(
+            "s5_feats_ali",
+            [sorted(train_audio), align_cfg, lexicon,
+             {u: list(transcripts[u]) for u in sorted(transcripts)}],
+            _s5_stage, log=print,
+        )
+        feats_train = {k: np.asarray(v, np.float32) for k, v in art["feats"].items()}
+        alignments = {k: np.asarray(v, np.int32) for k, v in art["ali"].items()}
+    else:
+        raise ValueError(
+            "v3/v4/v5 need senone alignments: pass `alignments` (the "
+            "exp/tri6a_4k_ali analog, VAD-stripped) or `transcripts` + "
+            "`lexicon` to run the built-in s5 aligner stage. "
+            "phonetic.pseudo_senone_alignments remains available as an "
+            "explicit test helper."
+        )
+    num_senones = 1 + max(int(np.max(a)) for a in alignments.values())
+    return cache, feats_train, feats_eval, alignments, num_senones
 
 
 def run_v3(
@@ -215,11 +305,21 @@ def run_v3(
     num_steps: int = 2000,
     condition_fn=None,
     mesh=None,
+    transcripts=None,
+    lexicon=None,
+    align_cfg=None,
 ) -> RunResult:
-    model_cfg = model_cfg or MultitaskConfig(num_speakers=len(train_dataset.speakers))
-    cache, feats_train, feats_eval, alignments = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, model_cfg.num_senones
+    cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
     )
+    model_cfg = model_cfg or MultitaskConfig(
+        num_speakers=len(train_dataset.speakers), num_senones=num_senones
+    )
+    if model_cfg.num_senones < num_senones:
+        raise ValueError(
+            f"model num_senones={model_cfg.num_senones} < alignment "
+            f"senone count {num_senones}"
+        )
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     model, state = phonetic.train_multitask_model(
         feats_train, alignments, train_dataset, model_cfg, train_cfg, num_steps,
@@ -252,13 +352,21 @@ def run_v4(
     am_lr_factor: float = 0.2,
     condition_fn=None,
     mesh=None,
+    transcripts=None,
+    lexicon=None,
+    align_cfg=None,
 ) -> RunResult:
-    am_cfg = am_cfg or AmConfig()
+    cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
+    )
+    am_cfg = am_cfg or AmConfig(num_senones=num_senones)
+    if am_cfg.num_senones < num_senones:
+        raise ValueError(
+            f"AM num_senones={am_cfg.num_senones} < alignment senone "
+            f"count {num_senones}"
+        )
     model_cfg = model_cfg or AdaptedConfig(
         num_speakers=len(train_dataset.speakers), am=am_cfg
-    )
-    cache, feats_train, feats_eval, alignments = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, am_cfg.num_senones
     )
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     am_model, am_state = phonetic.train_am_model(
@@ -294,16 +402,24 @@ def run_v5(
     am_lr_factor: float = 0.1,
     condition_fn=None,
     mesh=None,
+    transcripts=None,
+    lexicon=None,
+    align_cfg=None,
 ) -> RunResult:
-    am_cfg = am_cfg or AmConfig()
+    cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
+    )
+    am_cfg = am_cfg or AmConfig(num_senones=num_senones)
     model_cfg = model_cfg or CombinedConfig(
         num_speakers=len(train_dataset.speakers),
         num_senones=am_cfg.num_senones,
         am=am_cfg,
     )
-    cache, feats_train, feats_eval, alignments = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, am_cfg.num_senones
-    )
+    if min(am_cfg.num_senones, model_cfg.num_senones) < num_senones:
+        raise ValueError(
+            f"num_senones ({am_cfg.num_senones}/{model_cfg.num_senones}) < "
+            f"alignment senone count {num_senones}"
+        )
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     am_model, am_state = phonetic.train_am_model(
         feats_train, alignments, am_cfg, train_cfg, am_steps, mesh=mesh, log=log
@@ -312,9 +428,11 @@ def run_v5(
         feats_train, alignments, train_dataset, am_model, am_state, model_cfg,
         train_cfg, num_steps, am_lr_factor, mesh=mesh, log=log,
     )
-    al, ar = am_cfg.context
+    # embedding-path receptive field from the model's Stream accounting
+    # (max of xvec branch and pretrained-AM feed; see CombinedConfig)
+    xl, xr = model_cfg.xvec_context
     embs = pipeline.extract_and_score(
-        model, state, {**feats_train, **feats_eval}, extract_cfg, al + ar + 1,
+        model, state, {**feats_train, **feats_eval}, extract_cfg, xl + xr + 1,
         model_kwargs={"task": "xvec"},
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,

@@ -70,17 +70,30 @@ def train_v1_frontend(
     iv_cfg: IvectorConfig = IvectorConfig(),
     seed: int = 0,
     posterior_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    posteriors: Optional[Mapping[str, np.ndarray]] = None,
 ) -> Tuple[FullGmm, IvectorExtractor]:
-    """UBM + T-matrix training on the pooled training frames."""
-    all_frames = np.concatenate(list(features.values()))
-    if posterior_fn is None:
+    """UBM + T-matrix training on the pooled training frames.
+
+    DNN-posterior variant (`init_full_ubm_from_dnn.sh:100-116` +
+    `train_ivector_extractor_dnn.sh`): supply either ``posterior_fn``
+    (frames -> (N, K), applied to the pooled frames) or per-utterance
+    ``posteriors`` (utt -> (T, K) frame-aligned with ``features``, the
+    paired hires/sid stream form) — the UBM is then moment-matched from
+    those posteriors and the T-matrix stats use them too.
+    """
+    all_frames = np.concatenate([features[u] for u in sorted(features)])
+    if posteriors is not None:
+        post_all = np.concatenate([posteriors[u] for u in sorted(features)])
+        ubm = full_gmm_from_posteriors(all_frames, post_all)
+    elif posterior_fn is not None:
+        ubm = full_gmm_from_posteriors(all_frames, posterior_fn(all_frames))
+    else:
         diag = train_diag_ubm(all_frames, ubm_cfg, seed)
         ubm = train_full_ubm(all_frames, diag, ubm_cfg)
-    else:
-        post = posterior_fn(all_frames)
-        ubm = full_gmm_from_posteriors(all_frames, post)
     ext = init_extractor(ubm, iv_cfg.ivector_dim, seed)
-    _, stats = stats_from_features(ext, ubm, features, iv_cfg, ubm_cfg.full_gselect)
+    _, stats = stats_from_features(
+        ext, ubm, features, iv_cfg, ubm_cfg.full_gselect, posteriors=posteriors
+    )
     ext = train_ivector_extractor(ext, stats, iv_cfg)
     return ubm, ext
 
@@ -91,7 +104,10 @@ def extract_v1_ivectors(
     features: Mapping[str, np.ndarray],
     iv_cfg: IvectorConfig = IvectorConfig(),
     num_gselect: int = 20,
+    posteriors: Optional[Mapping[str, np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
-    utt_ids, stats = stats_from_features(ext, ubm, features, iv_cfg, num_gselect)
+    utt_ids, stats = stats_from_features(
+        ext, ubm, features, iv_cfg, num_gselect, posteriors=posteriors
+    )
     ivecs = extract_ivectors(ext, stats, iv_cfg)
     return dict(zip(utt_ids, ivecs))

@@ -3,11 +3,11 @@ v5 combined c-vector.
 
 Maps 1:1 onto the reference drivers (SURVEY.md §3.2/3.3):
 
-  pseudo_senone_alignments = a stand-in alignment provider for the
-      corpus-agnostic conformance suite (the real provider consumes
-      GMM-HMM forced alignments — `exp/tri6a_4k_ali` — which are an
-      input artifact per SURVEY.md §7 hard part 1; aligner lands with
-      the s5-equivalent stage)
+  pseudo_senone_alignments = an EXPLICIT TEST HELPER (never a driver
+      default): GMM-clustered frame labels for tests that need a
+      learnable labeling without a phonetic corpus.  Real drivers use
+      caller-supplied alignments or the built-in s5 stage
+      (recipes.s5.run_s5 — the `exp/tri6a_4k_ali` producer)
   train_am_model           = local/nnet3_cvector/cvector/train_am.sh
   train_multitask_model    = train_cvector.sh -> train_cvector_dnn.py
   train_adapted_model      = train_xvector_with_am.sh (graft + lr x0.2)
@@ -52,7 +52,10 @@ def pseudo_senone_alignments(
 ) -> Dict[str, np.ndarray]:
     """Frame labels from a small diag GMM over all frames (argmax
     posterior) — a consistent, learnable phone-like labeling for tests
-    and synthetic conformance runs."""
+    and synthetic conformance runs.  NOT phonetic and never a driver
+    default: pass it explicitly as ``alignments=`` where a test needs
+    labels without transcripts (the real providers are caller-supplied
+    alignments or `recipes.s5.run_s5`)."""
     from ..classical.gmm import init_diag_from_frames, accumulate_stats, _mstep_diag
     import jax.numpy as jnp
 
@@ -111,17 +114,33 @@ def train_am_model(
 
 
 def _multitask_iter(features, alignments, dataset, cfg: TrainConfig,
-                    am_context, num_steps):
+                    am_context, num_steps, frames_per_eg: int = 8):
     am_sampler = FrameSampler(
-        features, alignments, chunk_len=8, batch_size=cfg.am_batch_size,
-        seed=cfg.seed, context=am_context,
+        features, alignments, chunk_len=frames_per_eg,
+        batch_size=cfg.am_batch_size, seed=cfg.seed, context=am_context,
     )
     xvec_sampler = ChunkSampler(features, dataset, cfg.chunks, cfg.batch_size, cfg.seed)
-    # streams exhaust together over the step budget (cc:294-301 semantics)
+    # Data-driven stream budget (get_egs_xvec.sh:126-143 semantics): the
+    # am stream holds frames/frames_per_eg examples, the xvec stream
+    # repeats_per_spk x speakers; both scale to the step budget and the
+    # interleaver exhausts them together (cc:294-301,476-477).
+    total_frames = sum(f.shape[0] for f in features.values())
+    am_egs = max(total_frames // frames_per_eg, 1)
+    am_batches_epoch = max(-(-am_egs // cfg.am_batch_size), 1)
+    if cfg.repeats_per_spk > 0:
+        xvec_egs = cfg.repeats_per_spk * max(xvec_sampler.num_speakers, 1)
+        xvec_batches_epoch = max(-(-xvec_egs // cfg.batch_size), 1)
+    else:
+        # auto-balance: the reference picks repeats_per_spk so the two
+        # locked archive sets are comparable; balanced batch counts are
+        # that choice made explicit
+        xvec_batches_epoch = am_batches_epoch
+    frac_am = am_batches_epoch / (am_batches_epoch + xvec_batches_epoch)
+    num_am = min(max(int(round(num_steps * frac_am)), 1), num_steps - 1)
     interleaver = MultitaskInterleaver(
         am_sampler, xvec_sampler,
-        num_am_batches=num_steps // 2 + 1,
-        num_xvec_batches=num_steps - num_steps // 2 + 1,
+        num_am_batches=num_am + 1,
+        num_xvec_batches=num_steps - num_am + 1,
         am_weight=cfg.am_weight, xvec_weight=cfg.xvec_weight, seed=cfg.seed,
     )
     return am_sampler, xvec_sampler, interleaver
@@ -215,9 +234,10 @@ def train_combined_model(
 ):
     """v5: pretrained-AM graft + multitask two-head training."""
     model = CombinedCVector(model_cfg)
-    # xvec-branch am context must cover the pretrained AM's receptive field
+    # am-task frame egs use the multitask AM head's receptive field,
+    # derived from the model's Stream accounting (vars_am analog)
     am_sampler, xvec_sampler, interleaver = _multitask_iter(
-        features, alignments, dataset, train_cfg, (7, 7), num_steps
+        features, alignments, dataset, train_cfg, model_cfg.am_context, num_steps
     )
     tx, _ = build_optimizer(
         train_cfg.optimizer, num_steps, lr_factors={"am": am_lr_factor}

@@ -74,6 +74,49 @@ def prepare_features_nosil(
     return out
 
 
+@dataclasses.dataclass
+class PhoneticFeatures:
+    """The four artifacts of `sid/nnet3_cvector/cvector/prepare_feats.sh`:
+    WCMVN features with silence (for alignment / AM egs), the per-frame
+    voiced mask, and the silence-stripped features (for speaker egs).
+    Alignments computed on ``full`` strip to ``nosil`` row-for-row via the
+    same mask (the select-voiced-ali invariant)."""
+
+    full: Dict[str, np.ndarray]  # utt -> (T, D) wcmvn feats incl. silence
+    voiced: Dict[str, np.ndarray]  # utt -> (T,) bool VAD decisions
+    nosil: Dict[str, np.ndarray]  # utt -> (T_voiced, D)
+
+
+def prepare_features_phonetic(
+    audio: Mapping[str, np.ndarray],
+    frontend: FrontendConfig = FrontendConfig(dither=0.0),
+    vad: VadConfig = VadConfig(),
+    cmvn: CmvnConfig = CmvnConfig(),
+    key: Optional[jax.Array] = None,
+) -> PhoneticFeatures:
+    """MFCC -> VAD -> sliding CMVN, keeping both the with-silence stream
+    (aligner input) and the stripped stream (speaker-net input) plus the
+    mask that ties them together.  ``nosil`` is bitwise-identical to
+    `prepare_features_nosil` on the same audio (stable compaction of the
+    same CMVN'd frames by the same VAD decisions)."""
+    fe = FeatureExtractor(frontend)
+    full: Dict[str, np.ndarray] = {}
+    voiced_out: Dict[str, np.ndarray] = {}
+    nosil: Dict[str, np.ndarray] = {}
+    for utt_id, samples in audio.items():
+        feats, mask = fe.mfcc(samples, np.array(len(samples)), key=key)
+        voiced = energy_vad(feats[:, 0], mask, vad)
+        normed = sliding_cmvn(feats, mask, cmvn)
+        n_frames = int(np.sum(np.asarray(mask)))
+        f = np.asarray(normed)[:n_frames]
+        v = np.asarray(voiced)[:n_frames].astype(bool)
+        full[utt_id] = f
+        voiced_out[utt_id] = v
+        if v.any():
+            nosil[utt_id] = f[v]
+    return PhoneticFeatures(full, voiced_out, nosil)
+
+
 def heldout_split(
     dataset: Dataset, num_heldout_utts: int, min_per_spk: int = 2
 ) -> Tuple[Dataset, Dataset]:

@@ -1,0 +1,111 @@
+"""The s5-analog alignment driver: transcripts + lexicon -> senone alignments.
+
+The reference's `egs/sre/s5/run.sh` (mono -> tri1..tri6a_4k + fMLLR,
+lines 108-202) exists to produce one artifact the phonetic variants
+consume: `exp/tri6a_4k_ali`, per-frame tied-senone labels.  This stage is
+its TPU-native equivalent, built on the framework's own aligner:
+
+  1. monophone Viterbi-EM training          (`steps/train_mono.sh`)
+  2. likelihood-based state tying            (tree building, tri6a 5k leaves)
+  3. context-dependent re-alignment rounds   (`steps/align_si.sh` passes)
+     with per-senone GMM emissions
+  4. VAD-filtering of the label stream       (`src/ivectorbin/select-voiced-ali.cc`)
+     so alignments stay synchronized with silence-stripped features
+
+Deviation (documented): no fMLLR speaker transforms (`steps/align_fmllr.sh`
+refines the *features* per speaker; the alignment artifact contract is
+unchanged) and no word-level LM (forced alignment against a known
+transcript never needs one).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from ..align.mono import Lexicon, MonoAligner
+from ..align.tied import TiedAligner, refine_tied_aligner, train_tied_aligner
+from ..config import AlignConfig
+
+
+@dataclasses.dataclass
+class S5Result:
+    """The `exp/tri6a_4k_ali` analog plus the models that produced it."""
+
+    aligner: TiedAligner  # mono front + tied tree
+    model: MonoAligner  # refined senone-level GMM bank
+    alignments: Dict[str, np.ndarray]  # utt -> senone ids on FULL frames
+    phone_alignments: Dict[str, np.ndarray]  # utt -> phone indices
+    frames_shifted: List[float]  # per-refine-iteration alignment shift
+    num_senones: int
+
+
+def run_s5(
+    features: Mapping[str, np.ndarray],
+    transcripts: Mapping[str, Sequence[str]],
+    lexicon: Lexicon,
+    cfg: AlignConfig = AlignConfig(),
+    log=None,
+) -> S5Result:
+    """Train the aligner and force-align the corpus (with-silence frames).
+
+    ``features`` are the WCMVN with-silence stream
+    (`pipeline.prepare_features_phonetic().full`); strip the output with
+    `select_voiced_ali` before feeding silence-stripped consumers.
+    """
+    if log:
+        log(f"[s5] mono EM ({cfg.mono_iters} iters, "
+            f"{len(lexicon.phones)} phones x {cfg.states_per_phone} states)")
+    tied = train_tied_aligner(
+        features,
+        transcripts,
+        lexicon,
+        num_leaves=cfg.num_leaves,
+        mono_iters=cfg.mono_iters,
+        min_count=cfg.min_count,
+        states_per_phone=cfg.states_per_phone,
+        seed=cfg.seed,
+    )
+    if log:
+        log(f"[s5] tied tree: {tied.num_senones} senones "
+            f"(budget {cfg.num_leaves}); refining {cfg.refine_iters} rounds")
+    res = refine_tied_aligner(
+        tied,
+        features,
+        transcripts,
+        num_iters=cfg.refine_iters,
+        comps_per_senone=cfg.comps_per_senone,
+        seed=cfg.seed,
+    )
+    if log:
+        shifts = ", ".join(f"{s:.1%}" for s in res.frames_shifted)
+        log(f"[s5] alignment shift per refine round: {shifts}")
+    return S5Result(
+        tied, res.model, res.alignments, res.phone_alignments,
+        res.frames_shifted, tied.num_senones,
+    )
+
+
+def select_voiced_ali(
+    alignments: Mapping[str, np.ndarray],
+    voiced: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Filter per-frame label streams by VAD masks (the
+    `select-voiced-ali.cc:58-91` loop: assert lengths match, keep frames
+    where vad==1).  Output rows align with the silence-stripped features
+    produced from the same masks."""
+    out: Dict[str, np.ndarray] = {}
+    for utt, ali in alignments.items():
+        if utt not in voiced:
+            continue
+        v = np.asarray(voiced[utt], bool)
+        if len(ali) != len(v):
+            raise ValueError(
+                f"{utt}: alignment length {len(ali)} != vad length {len(v)}"
+            )
+        kept = np.asarray(ali)[v]
+        if len(kept):
+            out[utt] = kept.astype(np.int32)
+    return out

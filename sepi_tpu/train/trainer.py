@@ -69,7 +69,8 @@ def _apply(model, params, batch_stats, feats, train, **kw):
         out, mut = model.apply(
             variables, feats, train=True, mutable=["batch_stats"], **kw
         )
-        return out, mut["batch_stats"]
+        # models without batch-norm (e.g. the nnet2 p-norm net) mutate nothing
+        return out, mut.get("batch_stats", batch_stats)
     return model.apply(variables, feats, train=False, **kw), batch_stats
 
 

@@ -78,6 +78,13 @@ def _load():
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.ki_writer_put_compressed_matrix2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         lib.ki_writer_put_vector.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -156,6 +163,70 @@ def read_int_vector(ark_path: str, offset: int) -> np.ndarray:
     return out
 
 
+def iter_int_vector_ark(fileobj) -> Iterator[Tuple[str, np.ndarray]]:
+    """Iterate (key, int32 vector) entries of a *streamed* binary ark.
+
+    This is the sequential-reader counterpart of `read_int_vector` for
+    archives with no scp (alignment archives are consumed whole, so
+    random access buys nothing).  Binary format per entry:
+    key ' ' '\\0' 'B' <size byte 4> <int32 count> <raw int32 data>."""
+    data = fileobj.read()
+    pos, n = 0, len(data)
+    while pos < n:
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            if data[pos:].strip():
+                raise ValueError("trailing garbage in int-vector ark")
+            break
+        key = data[pos:sp].decode()
+        pos = sp + 1
+        if data[pos : pos + 2] != b"\x00B":
+            raise ValueError(
+                f"{key}: not a binary ark entry (text-format archives are "
+                "not supported; write with --binary=true)"
+            )
+        pos += 2
+        if data[pos : pos + 1] != b"\x04":
+            raise ValueError(f"{key}: expected int32 size byte")
+        pos += 1
+        cnt = int(np.frombuffer(data, "<i4", 1, pos)[0])
+        pos += 4
+        if cnt < 0 or pos + 4 * cnt > n:
+            raise ValueError(f"{key}: corrupt count {cnt}")
+        yield key, np.frombuffer(data, "<i4", cnt, pos).copy()
+        pos += 4 * cnt
+
+
+def read_ali_ark(path: str) -> dict:
+    """Read one alignment archive — gzipped (`ali.1.gz`, the on-disk form
+    `steps/align_fmllr.sh` ships) or plain — into {utt: (T,) int32}."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return dict(iter_int_vector_ark(f))
+
+
+def read_feats_scp(scp_path: str) -> dict:
+    """Materialize a Kaldi feats.scp into {utt: (T, D) float32} — any mix
+    of FM/DM/CM/CM2/CM3 entries (the real-world artifact forms)."""
+    return {key: read_matrix(path, off) for key, (path, off) in read_scp(scp_path)}
+
+
+def read_ali_dir(ali_dir: str, pattern: str = "ali.*.gz") -> dict:
+    """Ingest a Kaldi alignment directory (the `exp/tri6a_4k_ali` analog):
+    merge every ali.N.gz job shard into one {utt: labels} mapping."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(ali_dir, pattern)))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} under {ali_dir}")
+    out: dict = {}
+    for p in paths:
+        out.update(read_ali_ark(p))
+    return out
+
+
 class ArkWriter:
     """Write float matrices / vectors / int vectors to ark(+scp)."""
 
@@ -185,6 +256,18 @@ class ArkWriter:
         )
         if rc:
             raise IOError(f"put_compressed_matrix({key}) rc={rc}")
+
+    def put_compressed_matrix2(self, key: str, x: np.ndarray) -> None:
+        """Write as Kaldi CompressedMatrix format 2 (uint16/element,
+        global linear quantization — kTwoByte)."""
+        x = np.ascontiguousarray(x, np.float32)
+        rc = self._lib.ki_writer_put_compressed_matrix2(
+            self._w, key.encode(),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            x.shape[0], x.shape[1],
+        )
+        if rc:
+            raise IOError(f"put_compressed_matrix2({key}) rc={rc}")
 
     def put_vector(self, key: str, x: np.ndarray) -> None:
         x = np.ascontiguousarray(x, np.float32)

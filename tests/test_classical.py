@@ -199,3 +199,76 @@ def test_posterior_ivector_shrinks_with_few_frames(rng):
     w_full, _ = posterior_ivectors(ext, stats)
     w_tiny, _ = posterior_ivectors(ext, tiny)
     assert np.linalg.norm(np.asarray(w_tiny)) < 0.01 * max(np.linalg.norm(np.asarray(w_full)), 1.0)
+
+
+def test_gmm_estep_map_reduce_on_mesh(rng):
+    """Map-reduce EM exercised on the 8-device virtual mesh: frames shard
+    over 'data', per-device GmmStats psum over the mesh, and the result
+    matches the single-device E-step (the TPU-native
+    train_ivector_extractor.sh:131-149 / train_full_ubm.sh:97-108 shape)."""
+    from sepi_tpu.classical.gmm import accumulate_stats_sharded
+    from sepi_tpu.parallel.mesh import make_mesh
+
+    x, _ = _mixture_data(rng, n=1011, d=4)  # deliberately not divisible by 8
+    gmm = init_diag_from_frames(x, 5, seed=1)
+    mesh = make_mesh(8)
+
+    for kwargs in ({"num_gselect": 3, "min_post": 0.02}, {"full": True}):
+        ref = accumulate_stats(gmm, jnp.asarray(x), chunk=256, **kwargs)
+        sh = accumulate_stats_sharded(gmm, jnp.asarray(x), mesh, chunk=256, **kwargs)
+        np.testing.assert_allclose(np.asarray(sh.gamma), np.asarray(ref.gamma), rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sh.first), np.asarray(ref.first), rtol=2e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sh.second), np.asarray(ref.second), rtol=2e-5, atol=5e-3)
+    # zero-order stats conserve total frame count exactly
+    np.testing.assert_allclose(float(np.sum(np.asarray(sh.gamma))), x.shape[0], rtol=1e-5)
+
+
+def test_gmm_mstep_from_sharded_stats_matches(rng):
+    """M-step on psum'd sharded stats == M-step on single-device stats
+    (the full map-reduce EM round trip)."""
+    from sepi_tpu.classical.gmm import _mstep_diag, accumulate_stats_sharded
+    from sepi_tpu.parallel.mesh import make_mesh
+
+    x, _ = _mixture_data(rng, n=900, d=4)
+    gmm = init_diag_from_frames(x, 4, seed=0)
+    cfg = UbmConfig(num_gauss=4, num_gselect=4)
+    floor = float(np.var(x, axis=0).mean()) * 1e-4
+    ref = _mstep_diag(accumulate_stats(gmm, jnp.asarray(x), num_gselect=4), cfg, floor)
+    sh = _mstep_diag(
+        accumulate_stats_sharded(gmm, jnp.asarray(x), make_mesh(8), num_gselect=4),
+        cfg, floor,
+    )
+    np.testing.assert_allclose(np.asarray(sh.means), np.asarray(ref.means), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sh.vars), np.asarray(ref.vars), rtol=1e-4, atol=1e-4)
+
+
+def test_ivector_estep_shards_and_sums(rng):
+    """i-vector E-step map-reduce: per-shard utterance stats tree-add to
+    the global stats, and the M-step accumulators psum'd across shards
+    match the unsharded ones (ivector-extractor-sum-accs semantics)."""
+    from sepi_tpu.classical.ivector import _mstep_accumulate
+
+    feats, _, _ = _ivector_world(rng, num_spk=4, utts=2, frames=120)
+    all_frames = np.concatenate(list(feats.values()))
+    cfg = UbmConfig(num_gauss=4, num_gselect=4, num_iters_init=4, num_iters_full=2, subsample=2)
+    ubm = train_full_ubm(all_frames, train_diag_ubm(all_frames, cfg, 0), cfg)
+    ext = init_extractor(ubm, 3, seed=0)
+
+    utt_ids, stats = stats_from_features(ext, ubm, feats, num_gselect=4)
+    # shard utterances into 4 "jobs", accumulate independently, tree-add
+    import dataclasses as dc
+
+    shards = []
+    for j in range(4):
+        idx = np.asarray([i for i in range(len(utt_ids)) if i % 4 == j])
+        shards.append(dc.replace(stats, n=stats.n[idx], f=stats.f[idx]))
+    w, cov = posterior_ivectors(ext, stats)
+    a_ref, c_ref = _mstep_accumulate(ext, stats, w, cov)
+    a_sum = c_sum = None
+    for j, s in enumerate(shards):
+        idx = np.asarray([i for i in range(len(utt_ids)) if i % 4 == j])
+        aj, cj = _mstep_accumulate(ext, s, w[idx], cov[idx])
+        a_sum = aj if a_sum is None else a_sum + aj
+        c_sum = cj if c_sum is None else c_sum + cj
+    np.testing.assert_allclose(np.asarray(a_sum), np.asarray(a_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_sum), np.asarray(c_ref), rtol=1e-4, atol=1e-4)

@@ -121,3 +121,62 @@ def test_trials_save_load_roundtrip(tmp_path):
     save_trials(trials, p)
     back = load_trials(p)
     assert back == trials
+
+
+def test_segments_ingestion_and_extract(tmp_path, rng):
+    """segments-file support (steps/data/augment_data_dir_new.py's reason
+    to exist + extract-segments): recordings crop into utterances."""
+    from sepi_tpu.data import dataset_from_kaldi_dir, extract_segments
+    from sepi_tpu.data.audio import write_wav
+
+    d = tmp_path / "data"
+    d.mkdir()
+    sr = 8000
+    rec_audio = {"recA": rng.normal(size=3 * sr).astype(np.float32) * 100,
+                 "recB": rng.normal(size=2 * sr).astype(np.float32) * 100}
+    with open(d / "wav.scp", "w") as f:
+        for r, x in rec_audio.items():
+            p = str(d / f"{r}.wav")
+            write_wav(p, x, sr)
+            f.write(f"{r} {p}\n")
+    with open(d / "segments", "w") as f:
+        f.write("spk1-a recA 0.50 1.50\n")
+        f.write("spk1-b recA 1.70 2.90\n")
+        f.write("spk2-a recB 0.00 1.95\n")
+        f.write("spk2-tiny recB 1.00 1.05\n")  # below min length
+    with open(d / "utt2spk", "w") as f:
+        for u in ["spk1-a", "spk1-b", "spk2-a", "spk2-tiny"]:
+            f.write(f"{u} {u.split('-')[0]}\n")
+
+    ds = dataset_from_kaldi_dir(str(d))
+    ds.validate()
+    u = ds["spk1-a"]
+    assert u.recording == "recA" and u.start == 0.5 and u.end == 1.5
+    assert abs(u.duration - 1.0) < 1e-6
+
+    out = extract_segments(rec_audio, ds, sr)
+    assert set(out) == {"spk1-a", "spk1-b", "spk2-a"}  # tiny one skipped
+    np.testing.assert_array_equal(out["spk1-a"], rec_audio["recA"][4000:12000])
+    assert len(out["spk2-a"]) == int(1.95 * sr)
+
+
+def test_extract_segments_overshoot_policy(rng):
+    from sepi_tpu.data import extract_segments
+    from sepi_tpu.data.manifest import Dataset, Utterance
+
+    sr = 1000
+    rec = {"r": rng.normal(size=2000).astype(np.float32)}
+    ok = Dataset([Utterance("u1", "s", wav="r", recording="r", start=1.0, end=2.3)])
+    out = extract_segments(rec, ok, sr, max_overshoot=0.5)
+    assert len(out["u1"]) == 1000  # clamped to recording end
+    bad = Dataset([Utterance("u2", "s", wav="r", recording="r", start=1.0, end=2.8)])
+    with pytest.raises(ValueError, match="overshoot"):
+        extract_segments(rec, bad, sr, max_overshoot=0.5)
+
+
+def test_validate_rejects_bad_segment():
+    from sepi_tpu.data.manifest import Dataset, Utterance
+
+    ds = Dataset([Utterance("u", "s", wav="w", start=2.0, end=1.0)])
+    with pytest.raises(ValueError, match="segment"):
+        ds.validate()

@@ -30,6 +30,17 @@ def corpus():
     return make_synthetic_corpus(num_speakers=6, utts_per_speaker=5, duration_sec=3.0, seed=55)
 
 
+@pytest.fixture(scope="module")
+def pseudo_ali(corpus):
+    """Drivers no longer default to pseudo alignments; tests opt in
+    explicitly (the demotion required by VERDICT r1 item 1)."""
+    from sepi_tpu.recipes import prepare_features_nosil
+    from sepi_tpu.recipes.phonetic import pseudo_senone_alignments
+
+    nosil = prepare_features_nosil(corpus.audio)
+    return pseudo_senone_alignments(nosil, 10, seed=3)
+
+
 def test_run_v2_driver(tmp_path, corpus):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     res = run_v2(
@@ -46,14 +57,14 @@ def test_run_v2_driver(tmp_path, corpus):
     assert any(f.startswith("feats_train") for f in os.listdir(tmp_path))
 
 
-def test_run_v3_driver_with_adaptation_condition(tmp_path, corpus):
+def test_run_v3_driver_with_adaptation_condition(tmp_path, corpus, pseudo_ali):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     cfg = MultitaskConfig(
         num_speakers=6, num_senones=10, embed_dim=32, hidden_dim=24, pool_dim=48
     )
     res = run_v3(
         corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
-        workdir=str(tmp_path), model_cfg=cfg,
+        workdir=str(tmp_path), model_cfg=cfg, alignments=pseudo_ali,
         train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=140,
     )
     assert res.pooled.eer < 0.2
@@ -97,7 +108,7 @@ def test_run_v1_driver(tmp_path, corpus):
     assert 0.0 <= res.pooled.eer <= 0.5
 
 
-def test_run_v4_and_v5_drivers(tmp_path, corpus):
+def test_run_v4_and_v5_drivers(tmp_path, corpus, pseudo_ali):
     from sepi_tpu.models import AdaptedConfig, AmConfig, CombinedConfig
     from sepi_tpu.models.tdnn import TdnnSpec
     from sepi_tpu.recipes.drivers import run_v4, run_v5
@@ -111,7 +122,7 @@ def test_run_v4_and_v5_drivers(tmp_path, corpus):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     res4 = run_v4(
         corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
-        workdir=str(tmp_path / "v4"), am_cfg=tiny_am,
+        workdir=str(tmp_path / "v4"), am_cfg=tiny_am, alignments=pseudo_ali,
         model_cfg=AdaptedConfig(num_speakers=6, am=tiny_am, embed_dim=24,
                                 hidden_dim=16, pool_dim=32),
         train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG,
@@ -120,7 +131,7 @@ def test_run_v4_and_v5_drivers(tmp_path, corpus):
     assert res4.pooled.eer < 0.35
     res5 = run_v5(
         corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
-        workdir=str(tmp_path / "v5"), am_cfg=tiny_am,
+        workdir=str(tmp_path / "v5"), am_cfg=tiny_am, alignments=pseudo_ali,
         model_cfg=CombinedConfig(num_speakers=6, num_senones=10, am=tiny_am,
                                  embed_dim=24, hidden_dim=16, pool_dim=32),
         train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG,

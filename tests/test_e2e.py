@@ -66,9 +66,6 @@ def test_mini_v2_recipe(corpus, nosil):
     model, state, label_map = train_xvector_model(
         nosil, corpus.dataset, model_cfg, train_cfg, num_steps=150
     )
-    # training accuracy should be far above chance (1/8)
-    last = state  # metrics checked via extraction quality below
-
     embs = extract_and_score(
         model,
         state,

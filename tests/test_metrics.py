@@ -90,3 +90,37 @@ def test_known_auc_relationship():
     non = rng.normal(0.0, 1.0, 200000)
     expected = 0.5 * (1 - erf(d / 2 / sqrt(2)))
     assert eer(tgt, non) == pytest.approx(expected, abs=0.005)
+
+
+def test_ppndf_matches_normal_quantiles():
+    from sepi_tpu.metrics import ppndf
+
+    np.testing.assert_allclose(ppndf(np.array([0.5])), [0.0], atol=1e-9)
+    np.testing.assert_allclose(
+        ppndf(np.array([0.158655, 0.841345])), [-1.0, 1.0], atol=1e-4
+    )
+    # clipped, never inf
+    assert np.all(np.isfinite(ppndf(np.array([0.0, 1.0]))))
+
+
+def test_export_det_curve_text_and_svg(tmp_path, rng):
+    from sepi_tpu.metrics import compute_det, export_det_curve, ppndf
+
+    tgt = rng.normal(2.0, 1.0, size=8000)
+    non = rng.normal(-2.0, 1.0, size=20000)
+    curve = compute_det(tgt, non)
+    txt = str(tmp_path / "det.txt")
+    svg = str(tmp_path / "det.svg")
+    export_det_curve(curve, txt)
+    export_det_curve(curve, svg)
+    rows = np.loadtxt(txt)
+    # columns: p_fa p_miss ppndf(p_fa) ppndf(p_miss); probit consistency
+    np.testing.assert_allclose(rows[:, 2], ppndf(rows[:, 0]), atol=1e-4)
+    np.testing.assert_allclose(rows[:, 3], ppndf(rows[:, 1]), atol=1e-4)
+    # for unit-variance symmetric Gaussians the probit DET is the line
+    # ppndf(pm) = -d' - ppndf(pfa) with d'=4: check mid-curve points
+    mid = rows[(rows[:, 0] > 0.02) & (rows[:, 0] < 0.3)]
+    pred = -4.0 - mid[:, 2]
+    assert np.median(np.abs(mid[:, 3] - pred)) < 0.15
+    s = open(svg).read()
+    assert "<polyline" in s and "Miss probability" in s
