@@ -92,18 +92,20 @@ def main():
     from sepi_tpu.train import build_optimizer, create_train_state
     from sepi_tpu.train.trainer import make_am_step, make_xvec_step
 
-    def time_loop(fn, state, *args, iters=10):
+    def time_loop(fn, state, *args, iters=20):
         @jax.jit
         def loop(state):
             return jax.lax.fori_loop(
                 0, iters, lambda i, st: fn(st, *args), state
             )
 
+        # Sync via ONE scalar transfer: per-leaf block_until_ready costs a
+        # tunnel RPC per param leaf (~50 ms/step of pure overhead).
         st = loop(state)
-        jax.tree.map(lambda a: a.block_until_ready(), st.params)
+        np.asarray(st.step)
         t0 = time.perf_counter()
         st = loop(st)
-        jax.tree.map(lambda a: a.block_until_ready(), st.params)
+        np.asarray(st.step)
         return (time.perf_counter() - t0) / iters
 
     tx, _ = build_optimizer(OptimizerConfig(), 1000)

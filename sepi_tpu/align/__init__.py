@@ -5,6 +5,14 @@ from .mono import (
     align_graphs,
     train_mono_aligner,
 )
+from .fmllr import (
+    FmllrStats,
+    accumulate_fmllr_stats,
+    apply_fmllr,
+    apply_fmllr_corpus,
+    estimate_fmllr,
+    fmllr_transforms,
+)
 from .tied import RefineResult, TiedAligner, refine_tied_aligner, train_tied_aligner
 
 __all__ = [
@@ -17,4 +25,10 @@ __all__ = [
     "train_tied_aligner",
     "refine_tied_aligner",
     "RefineResult",
+    "FmllrStats",
+    "accumulate_fmllr_stats",
+    "apply_fmllr",
+    "apply_fmllr_corpus",
+    "estimate_fmllr",
+    "fmllr_transforms",
 ]

@@ -24,10 +24,9 @@ pdf-ids are (phone_index * states_per_phone + state) — monophone
 
 Deviations from Kaldi mono (documented): Viterbi training instead of
 full forward-backward accumulation (standard and adequate for
-alignment); no fMLLR speaker adaptation (a second-pass transform that
-refines alignments, not required for the alignment contract); no
-triphone tying (senone granularity is configurable via phones x states
-instead).
+alignment).  Context-dependent tying lives in align.tied; fMLLR
+speaker-adaptive transforms in align.fmllr (the SAT pass of
+steps/align_fmllr.sh); both build on this module's graphs and Viterbi.
 """
 
 from __future__ import annotations

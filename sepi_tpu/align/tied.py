@@ -345,9 +345,8 @@ def refine_tied_aligner(
     tri1 -> tri6a (`egs/sre/s5/run.sh:108-202`, `steps/align_si.sh`):
     re-estimates per-senone GMM emissions from the tied alignment and
     re-aligns with tied-pdf context graphs, iterating ``num_iters``
-    rounds.  fMLLR speaker transforms remain a documented deviation
-    (`steps/align_fmllr.sh` refines features, not the alignment
-    contract)."""
+    rounds.  fMLLR speaker transforms are available on top via
+    align.fmllr / run_s5(cfg.fmllr=True) (`steps/align_fmllr.sh`)."""
     from .mono import _estimate_from_alignment, align_graphs
 
     rng = np.random.default_rng(seed)

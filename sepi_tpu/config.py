@@ -158,6 +158,11 @@ class OptimizerConfig:
     num_epochs: int = 3
     dropout_schedule: str = "0,0@0.20,0.1@0.50,0"
     shrink_guard: float = 0.5  # train_cvector_dnn.py:292-296
+    # "none" = momentum SGD (the reference's update, minus NG-SGD — see
+    # train/optim.py deviation note); "muon" = Newton-Schulz orthogonalized
+    # momentum (a Shampoo-family preconditioner, the TPU-native NG-SGD
+    # substitute: the orthogonalization is pure matmuls on the MXU).
+    preconditioner: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,6 +264,11 @@ class AlignConfig:
     states_per_phone: int = 3
     comps_per_senone: int = 2
     seed: int = 0
+    # Speaker-adaptive pass (steps/align_fmllr.sh): estimate per-speaker
+    # fMLLR transforms from the refined alignment and re-align on
+    # transformed features.  Needs utt2spk at the run_s5 call site.
+    fmllr: bool = False
+    fmllr_min_beta: float = 200.0  # frames below which a spk stays identity
 
     replace = _replace
 

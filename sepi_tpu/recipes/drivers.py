@@ -236,7 +236,8 @@ def run_v1(
 
 
 def _phonetic_common(train_audio, eval_audio, alignments, workdir,
-                     transcripts=None, lexicon=None, align_cfg=None):
+                     transcripts=None, lexicon=None, align_cfg=None,
+                     utt2spk=None):
     """Shared v3/v4/v5 front half: nosil features + senone alignments.
 
     Alignment provider precedence (matching the reference's data flow,
@@ -266,7 +267,8 @@ def _phonetic_common(train_audio, eval_audio, alignments, workdir,
 
         def _s5_stage():
             pf = pipeline.prepare_features_phonetic(train_audio)
-            s5 = run_s5(pf.full, transcripts, lexicon, align_cfg, log=print)
+            s5 = run_s5(pf.full, transcripts, lexicon, align_cfg, log=print,
+                        utt2spk=utt2spk)
             ali = select_voiced_ali(s5.alignments, pf.voiced)
             return {"feats": pf.nosil, "ali": ali}
 
@@ -310,7 +312,8 @@ def run_v3(
     align_cfg=None,
 ) -> RunResult:
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
+        align_cfg, {u.utt_id: u.spk_id for u in train_dataset},
     )
     model_cfg = model_cfg or MultitaskConfig(
         num_speakers=len(train_dataset.speakers), num_senones=num_senones
@@ -357,7 +360,8 @@ def run_v4(
     align_cfg=None,
 ) -> RunResult:
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
+        align_cfg, {u.utt_id: u.spk_id for u in train_dataset},
     )
     am_cfg = am_cfg or AmConfig(num_senones=num_senones)
     if am_cfg.num_senones < num_senones:
@@ -407,7 +411,8 @@ def run_v5(
     align_cfg=None,
 ) -> RunResult:
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
-        train_audio, eval_audio, alignments, workdir, transcripts, lexicon, align_cfg
+        train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
+        align_cfg, {u.utt_id: u.spk_id for u in train_dataset},
     )
     am_cfg = am_cfg or AmConfig(num_senones=num_senones)
     model_cfg = model_cfg or CombinedConfig(

@@ -12,10 +12,12 @@ its TPU-native equivalent, built on the framework's own aligner:
   4. VAD-filtering of the label stream       (`src/ivectorbin/select-voiced-ali.cc`)
      so alignments stay synchronized with silence-stripped features
 
-Deviation (documented): no fMLLR speaker transforms (`steps/align_fmllr.sh`
-refines the *features* per speaker; the alignment artifact contract is
-unchanged) and no word-level LM (forced alignment against a known
-transcript never needs one).
+With ``cfg.fmllr`` (and ``utt2spk``) the stage adds the speaker-adaptive
+pass of `steps/align_fmllr.sh`: per-speaker CMLLR transforms estimated
+from the refined alignment (align.fmllr), features transformed, and a
+final re-alignment round — the tri4a/tri5a SAT shape.  Remaining
+deviation (documented): no word-level LM (forced alignment against a
+known transcript never needs one).
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ class S5Result:
     phone_alignments: Dict[str, np.ndarray]  # utt -> phone indices
     frames_shifted: List[float]  # per-refine-iteration alignment shift
     num_senones: int
+    fmllr: Optional[Dict[str, np.ndarray]] = None  # spk -> (D, D+1) W
 
 
 def run_s5(
@@ -48,12 +51,15 @@ def run_s5(
     lexicon: Lexicon,
     cfg: AlignConfig = AlignConfig(),
     log=None,
+    utt2spk: Optional[Mapping[str, str]] = None,
 ) -> S5Result:
     """Train the aligner and force-align the corpus (with-silence frames).
 
     ``features`` are the WCMVN with-silence stream
     (`pipeline.prepare_features_phonetic().full`); strip the output with
     `select_voiced_ali` before feeding silence-stripped consumers.
+    With ``cfg.fmllr`` and ``utt2spk``, a speaker-adaptive re-alignment
+    pass follows (`steps/align_fmllr.sh` semantics).
     """
     if log:
         log(f"[s5] mono EM ({cfg.mono_iters} iters, "
@@ -82,9 +88,33 @@ def run_s5(
     if log:
         shifts = ", ".join(f"{s:.1%}" for s in res.frames_shifted)
         log(f"[s5] alignment shift per refine round: {shifts}")
+    transforms = None
+    if cfg.fmllr:
+        if utt2spk is None:
+            raise ValueError("cfg.fmllr needs utt2spk (speaker map)")
+        from ..align.fmllr import apply_fmllr_corpus, fmllr_transforms
+
+        transforms = fmllr_transforms(
+            res.model, features, res.alignments, utt2spk,
+            min_beta=cfg.fmllr_min_beta,
+        )
+        feats_sat = apply_fmllr_corpus(features, transforms, utt2spk)
+        if log:
+            n_id = sum(
+                1 for w in transforms.values()
+                if np.allclose(w[:, :-1], np.eye(w.shape[0]))
+            )
+            log(f"[s5] fMLLR: {len(transforms)} speakers "
+                f"({n_id} left identity); SAT re-alignment")
+        res = refine_tied_aligner(
+            tied, feats_sat, transcripts,
+            num_iters=max(1, cfg.refine_iters - 1),
+            comps_per_senone=cfg.comps_per_senone,
+            seed=cfg.seed,
+        )
     return S5Result(
         tied, res.model, res.alignments, res.phone_alignments,
-        res.frames_shifted, tied.num_senones,
+        res.frames_shifted, tied.num_senones, transforms,
     )
 
 

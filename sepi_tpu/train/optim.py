@@ -20,11 +20,14 @@ optax chain:
   `train_xvector_with_am.sh:63-65`) via an update-scaling mask.
 
 Deliberate deviation (documented for parity review): Kaldi's online
-natural-gradient preconditioner (NG-SGD) is not reproduced; synchronous
-DP with exact gradients + momentum reaches the same objective on these
-5-10M-param TDNNs, and NG-SGD's low-rank preconditioner is a poor fit
-for MXU-batched updates.  If round experiments show a convergence gap,
-a Shampoo/ Adafactor preconditioner is the TPU-native substitute.
+natural-gradient preconditioner (NG-SGD) is not reproduced exactly;
+synchronous DP with exact gradients + momentum reaches the same
+objective on these 5-10M-param TDNNs, and NG-SGD's low-rank
+preconditioner is a poor fit for MXU-batched updates.  The TPU-native
+substitute is available as ``OptimizerConfig(preconditioner="muon")``:
+Newton-Schulz orthogonalized momentum (Shampoo family — steepest
+descent under the spectral norm), whose whole preconditioning step is
+matrix multiplies on the MXU.
 """
 
 from __future__ import annotations
@@ -160,11 +163,22 @@ def build_optimizer(
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """The full chain; returns (tx, lr_schedule_fn)."""
     sched = lr_schedule(cfg, total_steps, num_jobs_multiplier)
-    chain = [
-        optax.trace(decay=cfg.momentum, nesterov=False),
-        optax.scale_by_schedule(lambda c: -sched(c)),
-        clip_update_norm(cfg.max_param_change),
-    ]
+    if cfg.preconditioner == "muon":
+        # Shampoo-family NG-SGD substitute (see module deviation note):
+        # Newton-Schulz orthogonalized momentum on matrix params (pure
+        # MXU matmuls), Adam on the rest; LR schedule applied inside.
+        base = optax.contrib.muon(
+            learning_rate=lambda c: sched(c), beta=max(cfg.momentum, 0.9)
+        )
+        chain = [base, clip_update_norm(cfg.max_param_change)]
+    elif cfg.preconditioner in ("none", ""):
+        chain = [
+            optax.trace(decay=cfg.momentum, nesterov=False),
+            optax.scale_by_schedule(lambda c: -sched(c)),
+            clip_update_norm(cfg.max_param_change),
+        ]
+    else:
+        raise ValueError(f"unknown preconditioner {cfg.preconditioner!r}")
     if lr_factors:
         chain.append(subtree_lr_factors(None, lr_factors))
     if cfg.proportional_shrink > 0:

@@ -1,0 +1,81 @@
+"""Optimizer/precision variants: the Muon preconditioner (NG-SGD's
+TPU-native substitute) and bfloat16 training convergence."""
+
+import numpy as np
+import pytest
+
+from sepi_tpu.config import ChunkConfig, OptimizerConfig, TrainConfig
+from sepi_tpu.data import make_synthetic_corpus
+from sepi_tpu.models import XVector, XVectorConfig
+from sepi_tpu.models.tdnn import TdnnSpec
+from sepi_tpu.recipes import prepare_features_nosil
+from sepi_tpu.train import build_optimizer
+
+TINY_SPECS = (
+    TdnnSpec(24, (-2, -1, 0, 1, 2)),
+    TdnnSpec(24, (-2, 0, 2)),
+    TdnnSpec(24, (-3, 0, 3)),
+    TdnnSpec(24, (0,)),
+    TdnnSpec(48, (0,)),
+)
+
+
+@pytest.fixture(scope="module")
+def world():
+    corpus = make_synthetic_corpus(num_speakers=5, utts_per_speaker=4, seed=77)
+    nosil = prepare_features_nosil(corpus.audio)
+    return corpus, nosil
+
+
+def _train(world, opt_cfg, dtype="float32", num_steps=250):
+    import jax
+
+    from sepi_tpu.data.sampler import ChunkSampler
+    from sepi_tpu.train import create_train_state
+    from sepi_tpu.train.trainer import Trainer, make_eval_step, make_xvec_step
+
+    corpus, nosil = world
+    cfg = XVectorConfig(feat_dim=23, num_speakers=5, frame_specs=TINY_SPECS,
+                        embed_dim=32)
+    model = XVector(cfg, dtype=dtype)
+    sampler = ChunkSampler(
+        nosil, corpus.dataset,
+        ChunkConfig(min_chunk_len=50, max_chunk_len=80, num_buckets=2),
+        batch_size=20, seed=3,
+    )
+    tx, _ = build_optimizer(opt_cfg, num_steps)
+    probe = sampler.sample_batch(sampler.buckets[0])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), probe.feats)
+    step = make_xvec_step(model, tx)
+    trainer = Trainer(steps={"xvec": step}, state=state, log_every=40)
+    state = trainer.run(iter(sampler), num_steps=num_steps)
+    b = sampler.sample_batch(sampler.buckets[0])
+    acc = float(make_eval_step(model)(state, b.feats, b.labels)["accuracy"])
+    return acc, trainer.history
+
+
+def test_muon_preconditioner_trains(world):
+    acc, history = _train(
+        world,
+        OptimizerConfig(initial_lr=0.02, final_lr=0.005,
+                        proportional_shrink=0.0, preconditioner="muon"),
+    )
+    assert acc > 0.8, f"muon-trained accuracy {acc:.2f}"
+    objfs = [m["objf"] for _, task, m in history if task == "xvec"]
+    assert objfs[-1] > objfs[0]  # objective improved
+
+
+def test_unknown_preconditioner_raises():
+    with pytest.raises(ValueError, match="preconditioner"):
+        build_optimizer(OptimizerConfig(preconditioner="adagrad"), 100)
+
+
+def test_bfloat16_training_converges(world):
+    """ROADMAP item: validate bf16 training.  Params stay f32; conv
+    compute runs in bf16 (the MXU fast path); convergence must match the
+    f32 run within a small margin on the synthetic corpus."""
+    opt = OptimizerConfig(initial_lr=0.02, final_lr=0.005, proportional_shrink=0.5)
+    acc_f32, _ = _train(world, opt, dtype="float32")
+    acc_bf16, _ = _train(world, opt, dtype="bfloat16")
+    assert acc_bf16 > 0.8, f"bf16 accuracy {acc_bf16:.2f}"
+    assert acc_bf16 >= acc_f32 - 0.1
