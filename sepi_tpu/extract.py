@@ -76,20 +76,37 @@ class EmbeddingExtractor:
     cfg: ExtractConfig = ExtractConfig()
     min_frames: int = 15
     model_kwargs: Optional[Dict] = None
+    # Optional jax.sharding.Mesh: batches shard over the 'data' axis
+    # (GSPMD) — the TPU-native version of the reference's nj=32
+    # `run.pl` extraction fan-out (`extract_xvectors_new.sh:91-93`),
+    # with ICI instead of the filesystem.  batch_size must be divisible
+    # by the data-axis size.
+    mesh: object = None
 
     def __post_init__(self):
         self._fwd_cache: Dict[int, object] = {}
+        if self.mesh is not None and self.cfg.batch_size % self.mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {self.cfg.batch_size} not divisible by data "
+                f"axis {self.mesh.shape['data']}"
+            )
 
     def _forward(self, bucket_len: int):
         if bucket_len not in self._fwd_cache:
             kw = dict(self.model_kwargs or {})
             node = self.cfg.embedding_node
 
-            @jax.jit
             def fwd(variables, feats, mask):
                 out = self.model.apply(variables, feats, frame_mask=mask, train=False, **kw)
                 return out[node]
 
+            if self.mesh is None:
+                fwd = jax.jit(fwd)
+            else:
+                from .parallel.mesh import batch_sharded, replicated
+
+                rep, sh = replicated(self.mesh), batch_sharded(self.mesh)
+                fwd = jax.jit(fwd, in_shardings=(rep, sh, sh), out_shardings=rep)
             self._fwd_cache[bucket_len] = fwd
         return self._fwd_cache[bucket_len]
 

@@ -147,11 +147,12 @@ def run_v2(
     )
     min_frames = (model_cfg or XVectorConfig()).min_frames
     embs = pipeline.extract_and_score(model, state, {**feats_train, **feats_eval},
-                                      extract_cfg, min_frames)
+                                      extract_cfg, min_frames, mesh=mesh)
     adapt_embs = None
     if adapt_dataset is not None and adapt_audio is not None:
         feats_adapt = pipeline.prepare_features_nosil(adapt_audio)
-        a = pipeline.extract_and_score(model, state, feats_adapt, extract_cfg, min_frames)
+        a = pipeline.extract_and_score(model, state, feats_adapt, extract_cfg,
+                                       min_frames, mesh=mesh)
         adapt_embs = np.stack(list(a.values()))
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
                    adapt_embs, condition_fn, log, workdir)
@@ -331,7 +332,7 @@ def run_v3(
     l, r = model_cfg.xvec_context
     embs = pipeline.extract_and_score(
         model, state, {**feats_train, **feats_eval}, extract_cfg, l + r + 1,
-        model_kwargs={"task": "xvec"},
+        model_kwargs={"task": "xvec"}, mesh=mesh,
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
                    None, condition_fn, log, workdir)
@@ -382,7 +383,8 @@ def run_v4(
     )
     l, r = model_cfg.context
     embs = pipeline.extract_and_score(
-        model, state, {**feats_train, **feats_eval}, extract_cfg, l + r + 1
+        model, state, {**feats_train, **feats_eval}, extract_cfg, l + r + 1,
+        mesh=mesh,
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
                    None, condition_fn, log, workdir)
@@ -438,7 +440,7 @@ def run_v5(
     xl, xr = model_cfg.xvec_context
     embs = pipeline.extract_and_score(
         model, state, {**feats_train, **feats_eval}, extract_cfg, xl + xr + 1,
-        model_kwargs={"task": "xvec"},
+        model_kwargs={"task": "xvec"}, mesh=mesh,
     )
     return _finish(embs, train_dataset, trials, enroll_spk2utt, backend_cfg,
                    None, condition_fn, log, workdir)

@@ -252,14 +252,17 @@ def extract_and_score(
     extract_cfg: ExtractConfig = ExtractConfig(),
     min_frames: int = 15,
     model_kwargs: Optional[Dict] = None,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
-    """Chunked embedding extraction for all utterances."""
+    """Chunked embedding extraction for all utterances (data-parallel
+    over the mesh when given)."""
     extractor = EmbeddingExtractor(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
         extract_cfg,
         min_frames=min_frames,
         model_kwargs=model_kwargs,
+        mesh=mesh,
     )
     return extractor.extract_utterances(features)
 

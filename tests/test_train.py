@@ -247,3 +247,54 @@ def test_resume_from_checkpoint_dir(rng, tmp_path):
     # "resume": asking for 30 total only runs 10 more
     train_xvector_model(nosil, corpus.dataset, cfg, tc, num_steps=30, checkpoint_dir=d)
     assert latest_checkpoint(d) == 30
+
+
+def test_mesh_parallel_extraction_matches_single_device(rng):
+    """Extraction sharded over the 8-device mesh (the nj=32 run.pl
+    fan-out, on ICI) produces the same embeddings as single-device."""
+    import jax
+
+    from sepi_tpu.config import ExtractConfig
+    from sepi_tpu.extract import EmbeddingExtractor
+    from sepi_tpu.models import XVector, XVectorConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+    from sepi_tpu.parallel.mesh import make_mesh
+
+    cfg = XVectorConfig(
+        feat_dim=10, num_speakers=4, embed_dim=16,
+        frame_specs=(TdnnSpec(12, (-2, -1, 0, 1, 2)), TdnnSpec(24, (0,))),
+    )
+    model = XVector(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 40, 10), np.float32), train=False)
+    feats = {f"u{i}": rng.normal(size=(60 + 7 * i, 10)).astype(np.float32)
+             for i in range(13)}
+    ecfg = ExtractConfig(min_chunk_size=25, chunk_size=64, batch_size=8)
+    single = EmbeddingExtractor(model, variables, ecfg, min_frames=cfg.min_frames)
+    sharded = EmbeddingExtractor(model, variables, ecfg, min_frames=cfg.min_frames,
+                                 mesh=make_mesh(8))
+    e1 = single.extract_utterances(feats)
+    e2 = sharded.extract_utterances(feats)
+    assert set(e1) == set(e2)
+    for u in e1:
+        np.testing.assert_allclose(e2[u], e1[u], rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_extraction_rejects_indivisible_batch():
+    import jax
+    import pytest as _pytest
+
+    from sepi_tpu.config import ExtractConfig
+    from sepi_tpu.extract import EmbeddingExtractor
+    from sepi_tpu.models import XVector, XVectorConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+    from sepi_tpu.parallel.mesh import make_mesh
+
+    cfg = XVectorConfig(feat_dim=4, num_speakers=2, embed_dim=8,
+                        frame_specs=(TdnnSpec(8, (0,)),))
+    model = XVector(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 30, 4), np.float32), train=False)
+    with _pytest.raises(ValueError, match="divisible"):
+        EmbeddingExtractor(model, variables,
+                           ExtractConfig(batch_size=6), mesh=make_mesh(8))
