@@ -493,19 +493,28 @@ def align_graphs(
     items.sort(key=lambda x: (x[2], x[1].num_states))
     out: Dict[str, np.ndarray] = {}
     states_out: Dict[str, np.ndarray] = {}
+    emit_fn = jax.jit(
+        lambda f: jax.vmap(aligner.log_emissions)(f)
+    )
     for i0 in range(0, len(items), batch_size):
         group = items[i0 : i0 + batch_size]
         t_pad = _round_up(max(x[2] for x in group), 64)
         s_pad = _round_up(max(x[1].num_states for x in group), 128)
         b = len(group)
+        # one batched emission GEMM per group (per-utterance dispatches
+        # are round-trip-bound on remote devices)
+        d = features[group[0][0]].shape[1]
+        feats_p = np.zeros((b, t_pad, d), np.float32)
+        for j, (u, _, t_len) in enumerate(group):
+            feats_p[j, :t_len] = features[u]
+        e_all = np.asarray(emit_fn(jnp.asarray(feats_p)))  # (b, t_pad, P)
         emit = np.full((b, t_pad, s_pad), _NEG, np.float32)
         tlen = np.zeros(b, np.int32)
         trans = np.zeros((b, 3, s_pad), np.float32)
         tables = []
         for j, (u, g, t_len) in enumerate(group):
             pdf, preds, tr = _utt_tables(aligner, g, s_pad)
-            e = np.asarray(aligner.log_emissions(jnp.asarray(features[u], jnp.float32)))
-            emit[j, :t_len] = e[:, pdf]
+            emit[j, :t_len] = e_all[j, :t_len][:, pdf]
             tlen[j] = t_len
             trans[j] = tr
             tables.append((pdf, preds, g))

@@ -148,13 +148,23 @@ class FeatureExtractor:
 
         fe = FeatureExtractor(cfg)
         feats, mask = fe.mfcc(samples, lengths, key)   # (B, T, num_ceps)
+
+    ``spectral_mode``: 'slices' (default) is the block-row-slices + GEMM
+    fused path; 'conv' expresses framing+DFT as ONE strided convolution
+    (no frames tensor materialized) — measured 2.5x SLOWER on v5e
+    (13.9 vs 5.45 ms on the 16x100 s bench batch: XLA lowers the
+    stride-80/window-200/258-channel conv poorly), kept as a tested
+    alternative for future hardware/compilers.
     """
 
-    def __init__(self, cfg: FrontendConfig):
+    def __init__(self, cfg: FrontendConfig, spectral_mode: str = "slices"):
         self.cfg = cfg
+        self.spectral_mode = spectral_mode
         self._mel = jnp.asarray(mel_banks(cfg))
         self._dft = jnp.asarray(dft_basis(cfg))
         self._fused = jnp.asarray(fused_dft_basis(cfg))
+        # conv kernel layout (out_channels=2K, in=1, width=flen)
+        self._fused_kernel = jnp.asarray(fused_dft_basis(cfg).T[:, None, :])
         self._dct = jnp.asarray(dct_matrix(cfg.num_ceps, cfg.num_mel_bins))
         self._lifter = jnp.asarray(lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter))
 
@@ -163,15 +173,102 @@ class FeatureExtractor:
         mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
         return jnp.log(jnp.maximum(mel, _EPS))
 
+    def _spectral_conv(self, samples, lengths, max_frames):
+        """Fused spectral transform as ONE strided conv + tail patch.
+
+        spec[b, t] = frame(b, t) @ fused_basis, with frame extraction
+        expressed as a stride-``shift`` window of the padded signal —
+        i.e. conv1d(x_pad, basis) — so XLA lowers framing+DFT together
+        onto the MXU and never materializes the frames tensor.  Raw
+        energies come from two more strided convs (sum and sum-of-
+        squares against a ones kernel).  Frames whose window crosses an
+        utterance's true end need the right-edge mirror, which depends on
+        the per-utterance length: those few rows are recomputed exactly
+        (pre-squaring, since spec is linear in the frame) and patched in
+        with branch-free selects, making this path identical to the
+        exact framing, not an approximation."""
+        cfg = self.cfg
+        b, n = samples.shape
+        flen, shift = cfg.frame_length, cfg.frame_shift
+        pad_l = 0 if cfg.snip_edges else flen // 2 - shift // 2
+        need = (max_frames - 1) * shift + flen
+        pad_r = max(need - (pad_l + n), 0)
+        pieces = []
+        if pad_l:
+            pieces.append(samples[:, :pad_l][:, ::-1])
+        pieces.append(samples)
+        if pad_r:
+            pieces.append(jnp.zeros((b, pad_r), samples.dtype))
+        x_pad = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else samples
+
+        def sconv(x, kern):
+            out = jax.lax.conv_general_dilated(
+                x[:, None, :], kern, (shift,), [(0, 0)],
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+            )
+            return out[:, :, :max_frames]
+
+        spec = jnp.swapaxes(sconv(x_pad, self._fused_kernel), 1, 2)  # (B,T,2K)
+        ones_k = jnp.ones((1, 1, flen), jnp.float32)
+        s1 = sconv(x_pad, ones_k)[:, 0]  # (B, T)
+        s2 = sconv(x_pad * x_pad, ones_k)[:, 0]
+
+        # exact right-edge recompute for the ~3 frames crossing length
+        from .framing import num_frames as _nf
+
+        n_fix = min(-(-(flen - shift // 2) // shift) + 1, max_frames)
+
+        def tail_exact(s, length, t0):
+            tt = t0 + jnp.arange(n_fix, dtype=jnp.int32)[:, None]
+            nn = jnp.arange(flen, dtype=jnp.int32)[None, :]
+            if cfg.snip_edges:
+                idx = tt * shift + nn
+            else:
+                idx = tt * shift + shift // 2 - flen // 2 + nn
+            idx = jnp.where(idx < 0, -idx - 1, idx)
+            idx = jnp.where(idx >= length, 2 * length - 1 - idx, idx)
+            idx = jnp.where(idx < 0, -idx - 1, idx)
+            return s[jnp.clip(idx, 0, length - 1)]  # (n_fix, flen)
+
+        t_u = _nf(lengths, cfg)
+        t0 = jnp.clip(t_u - n_fix, 0, max_frames - n_fix)
+        exact = jax.vmap(tail_exact)(samples, lengths, t0)  # (B, n_fix, flen)
+        exact = jax.lax.optimization_barrier(exact)
+        spec_e = jnp.einsum(
+            "bnf,fk->bnk", exact, self._fused, preferred_element_type=jnp.float32
+        )
+        s1_e = jnp.sum(exact, axis=-1)
+        s2_e = jnp.sum(exact * exact, axis=-1)
+        rel = jnp.arange(max_frames, dtype=jnp.int32)[None, :] - t0[:, None]
+        for j in range(n_fix):
+            cond = rel == j
+            spec = jnp.where(cond[:, :, None], spec_e[:, j][:, None, :], spec)
+            s1 = jnp.where(cond, s1_e[:, j][:, None], s1)
+            s2 = jnp.where(cond, s2_e[:, j][:, None], s2)
+
+        energy = s2 - s1 * s1 / flen if cfg.remove_dc_offset else s2
+        log_e = jnp.log(jnp.maximum(energy, _EPS))
+        k = spec.shape[-1] // 2
+        power = spec[..., :k] ** 2 + spec[..., k:] ** 2
+        mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
+        log_mel = jnp.log(jnp.maximum(mel, _EPS))
+        mask = jnp.arange(max_frames)[None, :] < t_u[:, None]
+        return log_mel, log_e, mask
+
     def _spectral(self, samples, lengths, max_frames, key):
         """(log_mel, log_energy, mask) via the fused or the stepwise path.
 
-        Without dither the dc/preemph/window chain folds into the GEMM
-        basis (fused_dft_basis), so only the raw frames are materialized;
-        with dither (per-frame noise) the stepwise path runs.
+        Without dither the dc/preemph/window chain folds into the basis
+        (fused_dft_basis) and the whole framing+DFT runs as one strided
+        conv ('conv') or block-row slices + GEMM ('slices'); with dither
+        (per-frame noise) the stepwise path runs.
         """
         cfg = self.cfg
         if key is None and cfg.raw_energy:
+            degenerate = cfg.frame_shift > cfg.frame_length
+            if self.spectral_mode == "conv" and not degenerate:
+                return self._spectral_conv(samples, lengths, max_frames)
             from .framing import raw_frames
 
             frames, mask = raw_frames(samples, lengths, cfg, max_frames)

@@ -425,3 +425,22 @@ def test_train_vad_gmms_bootstrap_separates_classes(rng):
     voiced = np.concatenate([np.ones(400, bool), np.zeros(400, bool)])
     sp, ns = train_vad_gmms(frames, voiced, num_comps=2)
     assert float(np.asarray(sp.means)[:, 0].mean()) > float(np.asarray(ns.means)[:, 0].mean())
+
+
+def test_spectral_conv_matches_slices_path(rng):
+    """The strided-conv fused spectral path must match the block-row
+    slices + GEMM path (both exact) on a padded batch incl. short rows."""
+    from sepi_tpu.ops.features import FeatureExtractor
+
+    for cfg in [CFG, CFG_SNIP, CFG.replace(use_energy=False)]:
+        n1, n2 = 8000, 5120
+        batch = np.zeros((2, n1), np.float32)
+        batch[0] = rng.normal(size=n1).astype(np.float32) * 100
+        batch[1, :n2] = rng.normal(size=n2).astype(np.float32) * 100
+        lengths = np.array([n1, n2], np.int32)
+        fe_conv = FeatureExtractor(cfg, spectral_mode="conv")
+        fe_sli = FeatureExtractor(cfg, spectral_mode="slices")
+        fc, mc = fe_conv.mfcc(batch, lengths)
+        fs, ms = fe_sli.mfcc(batch, lengths)
+        np.testing.assert_array_equal(np.asarray(mc), np.asarray(ms))
+        np.testing.assert_allclose(np.asarray(fc), np.asarray(fs), atol=2e-3, rtol=1e-4)
