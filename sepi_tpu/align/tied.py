@@ -39,7 +39,7 @@ from .mono import (
     _GraphCache,
     align_corpus,
     train_mono_aligner,
-)
+)  # align_corpus re-exported for callers of the tied module
 
 
 @dataclasses.dataclass
@@ -71,6 +71,23 @@ class TiedTree:
 
     def senone(self, l: int, c: int, state: int, r: int) -> int:
         return self.roots[(c, state)].lookup(l, r)
+
+    def dense_table(self) -> np.ndarray:
+        """(num_phones, spp, num_phones, num_phones) senone lookup table.
+
+        Real phone inventories are ~50 symbols, so the dense table is
+        ~50*3*50*50 = 375k int32 — built once, it turns per-frame tree
+        walks into one vectorized fancy-index over the whole corpus."""
+        if not hasattr(self, "_table"):
+            p, s = self.num_phones, self.states_per_phone
+            tbl = np.zeros((p, s, p, p), np.int32)
+            for c in range(p):
+                for st in range(s):
+                    for l in range(p):
+                        for r in range(p):
+                            tbl[c, st, l, r] = self.senone(l, c, st, r)
+            self._table = tbl
+        return self._table
 
 
 class _Gauss:
@@ -197,30 +214,6 @@ def build_tied_tree(
     return TiedTree(roots, next_leaf, states_per_phone, num_phones)
 
 
-def _blocks_for_path(phones_per_block: np.ndarray, pdf_path: np.ndarray, spp: int) -> np.ndarray:
-    """Per-frame block index recovered from a pdf path.
-
-    The alignment graph is linear, so the path visits blocks in
-    increasing order; a new block starts when the phone changes or the
-    HMM state resets (states within a block are non-decreasing)."""
-    nb = len(phones_per_block)
-    out = np.zeros(len(pdf_path), np.int32)
-    blk = 0
-    prev_state = -1
-    for t, pdf in enumerate(pdf_path):
-        phone, state = pdf // spp, pdf % spp
-        if phones_per_block[blk] != phone or state < prev_state:
-            blk += 1
-            while blk < nb and phones_per_block[blk] != phone:
-                blk += 1
-            if blk >= nb:
-                raise ValueError("pdf path inconsistent with graph")
-            prev_state = -1
-        out[t] = blk
-        prev_state = state
-    return out
-
-
 def _block_contexts(graph: UttGraph, spp: int) -> np.ndarray:
     """(num_blocks, 2) left/right phone context per block, sil-aware.
 
@@ -263,27 +256,40 @@ class TiedAligner:
         transcripts: Mapping[str, Sequence[str]],
         batched: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """Forced alignment -> per-frame tied-senone ids."""
-        mono_ali = align_corpus(
-            self.mono, features, transcripts, self.lexicon, batched=batched
-        )
+        """Forced alignment -> per-frame tied-senone ids.
+
+        Fully vectorized per utterance: the graph STATE path gives block
+        indices directly (block = state // spp in the linear graph), and
+        the dense tree table turns context lookups into one fancy-index
+        — no per-frame Python (corpus-scale requirement)."""
+        from .mono import align_graphs
+
         spp = self.mono.states_per_phone
         cache = _GraphCache(self.lexicon, spp)
+        graphs = {u: cache.get(transcripts[u]) for u in features if u in transcripts}
+        if batched:
+            mono_ali, states = align_graphs(
+                self.mono, graphs, features, return_states=True
+            )
+        else:
+            mono_ali, states = {}, {}
+            for u, g in graphs.items():
+                from .mono import align_utterance
+
+                mono_ali[u], states[u] = align_utterance(
+                    self.mono, g, features[u], return_states=True
+                )
+        table = self.tree.dense_table()
         out: Dict[str, np.ndarray] = {}
         for u, pdf_path in mono_ali.items():
-            graph = cache.get(transcripts[u])
+            graph = graphs[u]
             ctx = _block_contexts(graph, spp)
-            phones_per_block = graph.pdf.reshape(-1, spp)[:, 0] // spp
-            blocks = _blocks_for_path(phones_per_block, pdf_path, spp)
-            senones = np.zeros(len(pdf_path), np.int32)
-            for t, pdf in enumerate(pdf_path):
-                phone, state = int(pdf // spp), int(pdf % spp)
-                if phone == 0:
-                    senones[t] = self.tree.senone(0, 0, state, 0)
-                else:
-                    l, r = ctx[blocks[t]]
-                    senones[t] = self.tree.senone(int(l), phone, state, int(r))
-            out[u] = senones
+            blocks = states[u] // spp
+            phone = pdf_path // spp
+            state = pdf_path % spp
+            l = np.where(phone == 0, 0, ctx[blocks, 0])
+            r = np.where(phone == 0, 0, ctx[blocks, 1])
+            out[u] = table[phone, state, l, r].astype(np.int32)
         return out
 
 
@@ -392,36 +398,54 @@ def train_tied_aligner(
     batched: bool = True,
 ) -> TiedAligner:
     """Mono training + context-stat collection + tree building."""
+    from .mono import align_graphs
+
     mono = train_mono_aligner(
         features, transcripts, lexicon, mono_iters, states_per_phone, seed=seed,
         batched=batched,
     )
     spp = states_per_phone
-    ali = align_corpus(mono, features, transcripts, lexicon, batched=batched)
     cache = _GraphCache(lexicon, spp)
+    graphs = {u: cache.get(transcripts[u]) for u in features if u in transcripts}
+    ali, states = align_graphs(mono, graphs, features, return_states=True)
     d = next(iter(features.values())).shape[1]
-
-    # context-conditioned single-Gaussian stats per (center, state)
-    stats: Dict[Tuple[int, int], Dict[Tuple[int, int], _Gauss]] = {}
     num_phones = len(lexicon.phones)
+
+    # Context-conditioned single-Gaussian stats, accumulated into dense
+    # flat-keyed arrays with np.add.at (no per-frame Python — the corpus
+    # pass is index arithmetic + three scatters per utterance).  Key =
+    # ((phone*spp + state)*P + l)*P + r; real inventories (~50 phones)
+    # make the dense space ~400k cells.
+    k_flat = num_phones * spp * num_phones * num_phones
+    counts = np.zeros(k_flat)
+    s1 = np.zeros((k_flat, d))
+    s2 = np.zeros((k_flat, d))
+    for u, pdf_path in ali.items():
+        ctx = _block_contexts(graphs[u], spp)
+        blocks = states[u] // spp
+        phone = pdf_path // spp
+        state = pdf_path % spp
+        l = np.where(phone == 0, 0, ctx[blocks, 0])
+        r = np.where(phone == 0, 0, ctx[blocks, 1])
+        key = ((phone.astype(np.int64) * spp + state) * num_phones + l) * num_phones + r
+        f = features[u].astype(np.float64)
+        np.add.at(counts, key, 1.0)
+        np.add.at(s1, key, f)
+        np.add.at(s2, key, f * f)
+
+    stats: Dict[Tuple[int, int], Dict[Tuple[int, int], _Gauss]] = {}
     for c in range(num_phones):
         for s in range(spp):
             stats[(c, s)] = {}
-    for u, pdf_path in ali.items():
-        graph = cache.get(transcripts[u])
-        ctx = _block_contexts(graph, spp)
-        phones_per_block = graph.pdf.reshape(-1, spp)[:, 0] // spp
-        blocks = _blocks_for_path(phones_per_block, pdf_path, spp)
-        f = features[u]
-        for t, pdf in enumerate(pdf_path):
-            phone, state = int(pdf // spp), int(pdf % spp)
-            key = (0, 0) if phone == 0 else tuple(int(v) for v in ctx[blocks[t]])
-            node_stats = stats[(phone, state)]
-            if key not in node_stats:
-                node_stats[key] = _Gauss(d)
-            g = node_stats[key]
-            g.n += 1
-            g.s1 += f[t]
-            g.s2 += f[t] ** 2
+    for k in np.nonzero(counts)[0]:
+        r = int(k % num_phones)
+        l = int((k // num_phones) % num_phones)
+        state = int((k // (num_phones * num_phones)) % spp)
+        phone = int(k // (num_phones * num_phones * spp))
+        g = _Gauss(d)
+        g.n = float(counts[k])
+        g.s1 = s1[k]
+        g.s2 = s2[k]
+        stats[(phone, state)][(l, r)] = g
     tree = build_tied_tree(stats, num_leaves, spp, num_phones, min_count)
     return TiedAligner(mono, tree, lexicon)
