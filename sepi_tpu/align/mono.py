@@ -322,6 +322,11 @@ def _estimate_from_alignment(
     states_per_phone: int,
     rng: np.random.Generator,
 ) -> MonoAligner:
+    """M-step over aligned frames.
+
+    Frame grouping is one corpus-wide stable argsort by pdf id (plus
+    bincounts for the transition stats) — O(N log N) total, never
+    O(num_pdf x N), which matters at tied-senone scale (4k pdfs)."""
     d = next(iter(features.values())).shape[1]
     means = np.zeros((num_pdf, comps, d), np.float32)
     vars_ = np.ones((num_pdf, comps, d), np.float32)
@@ -330,23 +335,22 @@ def _estimate_from_alignment(
     counts = np.zeros(num_pdf)
     self_counts = np.zeros(num_pdf)
     adv_counts = np.zeros(num_pdf)
-    frames_by_pdf: List[List[np.ndarray]] = [[] for _ in range(num_pdf)]
-    for utt, ali in alignments.items():
-        f = features[utt]
-        for p in range(num_pdf):
-            sel = f[ali == p]
-            if len(sel):
-                frames_by_pdf[p].append(sel)
+    utt_ids = [u for u in alignments if u in features]
+    all_f = np.concatenate([features[u] for u in utt_ids])
+    all_a = np.concatenate([alignments[u] for u in utt_ids]).astype(np.int64)
+    order = np.argsort(all_a, kind="stable")
+    sorted_f = all_f[order]
+    bounds = np.searchsorted(all_a[order], np.arange(num_pdf + 1))
+    for u in utt_ids:
+        ali = np.asarray(alignments[u], np.int64)
         same = ali[1:] == ali[:-1]
-        for p in range(num_pdf):
-            mask_p = ali[:-1] == p
-            self_counts[p] += np.sum(same & mask_p)
-            adv_counts[p] += np.sum(~same & mask_p)
-    global_mean = np.mean(np.concatenate(list(features.values())), axis=0)
-    global_var = np.var(np.concatenate(list(features.values())), axis=0) + 1e-3
+        self_counts += np.bincount(ali[:-1][same], minlength=num_pdf)
+        adv_counts += np.bincount(ali[:-1][~same], minlength=num_pdf)
+    global_mean = np.mean(all_f, axis=0)
+    global_var = np.var(all_f, axis=0) + 1e-3
     for p in range(num_pdf):
-        if frames_by_pdf[p]:
-            x = np.concatenate(frames_by_pdf[p])
+        x = sorted_f[bounds[p] : bounds[p + 1]]
+        if len(x):
             counts[p] = len(x)
             if comps == 1 or len(x) < comps * 4:
                 means[p, :] = x.mean(axis=0)

@@ -29,12 +29,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
-_BLK = 256
+_BLK = 256  # max time-block; shrunk adaptively so tiles fit VMEM
 
 
-def _make_kernel(skip: int):
+def _pick_blk(b: int, s: int, budget_bytes: int = 4 << 20) -> int:
+    """Largest power-of-two time block whose (blk, B, S) f32 tile fits the
+    per-tile VMEM budget — at tied-senone scale (S=512+) the fixed
+    256-step block exceeds the 16 MB scoped VMEM and the kernel fails to
+    compile; shrinking the block trades pipeline depth for fit."""
+    blk = _BLK
+    while blk > 8 and blk * b * s * 4 > budget_bytes:
+        blk //= 2
+    return blk
+
+
+def _make_kernel(skip: int, blk_len: int):
     def kernel(emit_ref, trans_ref, tlen_ref, bp_ref, delta_out_ref, delta_ref):
         blk = pl.program_id(0)
+        _blk_len = blk_len
         b, s = delta_ref.shape
 
         t0 = trans_ref[0]
@@ -48,7 +60,7 @@ def _make_kernel(skip: int):
             delta_ref[:] = jnp.where(col == 0, emit_ref[0], _NEG)
 
         def body(j, _):
-            t = blk * _BLK + j
+            t = blk * _blk_len + j
             d = delta_ref[:]  # (B, S)
             c0 = d + t0
             c1 = pltpu.roll(d, 1, axis=1) + t1
@@ -64,7 +76,7 @@ def _make_kernel(skip: int):
             delta_ref[:] = jnp.where(live, best + emit_ref[j], d)
             return 0
 
-        jax.lax.fori_loop(0, _BLK, body, 0)
+        jax.lax.fori_loop(0, _blk_len, body, 0)
 
         @pl.when(blk == pl.num_programs(0) - 1)
         def _():
@@ -83,25 +95,26 @@ def viterbi_batch(
 ):
     """Returns (bps (B, T-1, S) int8, delta (B, S) final scores)."""
     b, t, s = state_emit.shape
-    t_pad = -(-t // _BLK) * _BLK
+    blk_len = _pick_blk(b, s)
+    t_pad = -(-t // blk_len) * blk_len
     # time-major so each grid step reads one contiguous (BLK, B, S) tile
     emit_tm = jnp.moveaxis(state_emit, 1, 0)  # (T, B, S)
     if t_pad != t:
         emit_tm = jnp.pad(emit_tm, ((0, t_pad - t), (0, 0), (0, 0)))
     trans_bm = jnp.moveaxis(trans, 1, 0)  # (3, B, S)
     tlen2d = jnp.broadcast_to(t_len.astype(jnp.int32)[:, None], (b, s))
-    n_blocks = t_pad // _BLK
+    n_blocks = t_pad // blk_len
 
     bps_tm, delta = pl.pallas_call(
-        _make_kernel(skip),
+        _make_kernel(skip, blk_len),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((_BLK, b, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((blk_len, b, s), lambda i: (i, 0, 0)),
             pl.BlockSpec((3, b, s), lambda i: (0, 0, 0)),
             pl.BlockSpec((b, s), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((_BLK, b, s), lambda i: (i, 0, 0)),
+            pl.BlockSpec((blk_len, b, s), lambda i: (i, 0, 0)),
             pl.BlockSpec((b, s), lambda i: (0, 0)),
         ],
         out_shape=[
