@@ -74,12 +74,47 @@ def pseudo_senone_alignments(
 
 
 def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
-           model_kwargs=None, log=None, valid_batches=None, eval_steps=None):
+           model_kwargs=None, log=None, valid_batches=None, eval_steps=None,
+           checkpoint_dir=None, train_cfg=None):
+    """Shared trainer loop.  With ``checkpoint_dir``, periodic checkpoints
+    are written, training resumes from the latest one (--train-stage
+    semantics), and the final model is the best checkpoint-tail
+    combination scored on the held-out objectives summed across tasks —
+    `combine_cvector_models` / nnet3-combine parity for the multitask
+    trainers (`frame_level_objf/common.py:970-1055`)."""
     trainer = Trainer(
         steps=steps, state=state, log_every=50, logger=log,
         valid_batches=valid_batches, eval_steps=eval_steps, eval_every=100,
     )
-    state = trainer.run(batch_iter, num_steps=num_steps)
+    if checkpoint_dir and train_cfg is not None:
+        from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
+        from ..train.checkpoint import latest_checkpoint
+
+        done = latest_checkpoint(checkpoint_dir) or 0
+        if done:
+            trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
+        remaining = num_steps - done
+        it = iter(batch_iter)
+        while remaining > 0:
+            run_for = min(train_cfg.checkpoint_every, remaining)
+            state = trainer.run(it, num_steps=run_for)
+            remaining -= run_for
+            save_checkpoint(
+                state, checkpoint_dir, num_steps - remaining,
+                keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
+            )
+        if valid_batches and eval_steps:
+            def objf(s):
+                total = 0.0
+                for vb in valid_batches:
+                    ev = eval_steps.get(vb.task)
+                    if ev is not None:
+                        total += float(ev(s, vb.feats, vb.labels)["objf"])
+                return total
+
+            state, _ = combine_checkpoints(state, checkpoint_dir, objf)
+    else:
+        state = trainer.run(batch_iter, num_steps=num_steps)
     state = finalize_batch_stats(model, state, calib_feats, model_kwargs=model_kwargs)
     return state
 
@@ -155,6 +190,7 @@ def train_multitask_model(
     num_steps: int = 300,
     mesh=None,
     log=None,
+    checkpoint_dir=None,
 ):
     """v3: two-head training on interleaved single-task minibatches."""
     model = MultitaskCVector(model_cfg)
@@ -183,7 +219,8 @@ def train_multitask_model(
     }
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
                    model_kwargs={"task": "both"}, log=log,
-                   valid_batches=valid_batches, eval_steps=eval_steps)
+                   valid_batches=valid_batches, eval_steps=eval_steps,
+                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg)
     return model, state
 
 
@@ -231,6 +268,7 @@ def train_combined_model(
     am_lr_factor: float = 0.1,
     mesh=None,
     log=None,
+    checkpoint_dir=None,
 ):
     """v5: pretrained-AM graft + multitask two-head training."""
     model = CombinedCVector(model_cfg)
@@ -257,7 +295,16 @@ def train_combined_model(
         "am": make_am_step(model, tx, task_kwargs={"task": "am"}, mesh=mesh),
         "xvec": make_xvec_step(model, tx, task_kwargs={"task": "xvec"}, mesh=mesh),
     }
+    from ..train.trainer import make_eval_step
+
+    valid_batches = [am_sampler.sample_batch(), xvec_sampler.sample_batch()]
+    eval_steps = {
+        "am": make_eval_step(model, task_kwargs={"task": "am"}),
+        "xvec": make_eval_step(model, task_kwargs={"task": "xvec"}),
+    }
     calib = [xvec_sampler.sample_batch(b).feats for b in xvec_sampler.buckets[:3]]
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
-                   model_kwargs={"task": "both"}, log=log)
+                   model_kwargs={"task": "both"}, log=log,
+                   valid_batches=valid_batches, eval_steps=eval_steps,
+                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg)
     return model, state

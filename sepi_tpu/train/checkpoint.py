@@ -41,6 +41,8 @@ def save_checkpoint(state, directory: str, step: int, keep_every: int = 10, max_
 
 def _list_steps(directory: str) -> List[int]:
     out = []
+    if not os.path.isdir(directory):
+        return out  # fresh run: no checkpoint dir yet
     for name in os.listdir(directory):
         m = re.fullmatch(r"ckpt_(\d+)\.msgpack", name)
         if m:

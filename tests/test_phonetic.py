@@ -147,3 +147,34 @@ def test_graft_and_lr_factor_freeze(world):
         np.asarray(state.params["xvec_branch"]["tdnn1"]["affine"]["kernel"]),
         np.zeros(1),
     )
+
+
+def test_multitask_checkpoint_resume_and_combine(tmp_path, world):
+    """combine_cvector_models parity: the multitask trainer checkpoints,
+    resumes from the latest checkpoint, and the final model is the
+    checkpoint-tail combination scored on the summed per-task held-out
+    objectives."""
+    import dataclasses
+    import os
+
+    from sepi_tpu.train.checkpoint import latest_checkpoint
+
+    corpus, nosil, ali = world
+    cfg = MultitaskConfig(
+        num_speakers=6, num_senones=NUM_SENONES, embed_dim=32,
+        hidden_dim=24, pool_dim=48,
+    )
+    tc = dataclasses.replace(TRAIN_CFG, checkpoint_every=40)
+    ckpt = str(tmp_path / "ckpt")
+    model, state = train_multitask_model(
+        nosil, ali, corpus.dataset, cfg, tc, num_steps=120, checkpoint_dir=ckpt,
+    )
+    assert latest_checkpoint(ckpt) == 120
+    assert len(os.listdir(ckpt)) >= 1
+    eer = _eval_eer(corpus, model, state, nosil, 15, {"task": "xvec"})
+    assert eer < 0.2, f"combined multitask EER {eer:.3f}"
+    # resume: ask for 40 more steps; only the delta runs
+    model2, state2 = train_multitask_model(
+        nosil, ali, corpus.dataset, cfg, tc, num_steps=160, checkpoint_dir=ckpt,
+    )
+    assert latest_checkpoint(ckpt) == 160
