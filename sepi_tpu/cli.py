@@ -1,0 +1,178 @@
+"""Command-line recipe runner — the run_sre10.sh-shaped entry point.
+
+The reference is driven from the shell; this gives the framework the
+same surface: point at Kaldi-style data directories and run any variant.
+
+  python -m sepi_tpu v2 --train-data data/swbd_sre --enroll-data data/enroll \\
+      --eval-data data/test --trials data/trials --workdir exp/v2 \\
+      [--num-steps N] [--adapt-data DIR]
+  python -m sepi_tpu v3 ... --text data/train/text --lexicon lexicon.txt \\
+      [--num-leaves 4096] [--fmllr]
+
+Data dirs are standard Kaldi layout (wav.scp/utt2spk[/segments]);
+wav.scp must point at real wav files (materialize sph pipelines first —
+`data.ldc` walkers annotate channels for that step).  `--text` is the
+Kaldi transcript table (`utt w1 w2 ...`), `--lexicon` the pronunciation
+lexicon (`word p1 p2 ...`); together they enable the built-in s5
+alignment stage for v3/v4/v5.  Results (report, DET curves, embeddings,
+metrics.jsonl) land in --workdir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def load_transcripts(path: str) -> Dict[str, List[str]]:
+    """Kaldi `text` table: utt_id followed by the word sequence."""
+    out: Dict[str, List[str]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                out[parts[0]] = parts[1:]
+    return out
+
+
+def load_lexicon(path: str):
+    """Kaldi lexicon.txt: `word phone phone ...` -> align.Lexicon."""
+    from .align import Lexicon
+
+    pron = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                pron.setdefault(parts[0], parts[1:])
+    return Lexicon.from_dict(pron)
+
+
+def _load_corpus(data_dir: str, expected_rate: int):
+    """Kaldi data dir -> (Dataset, {utt: samples}); applies segments."""
+    from .data import dataset_from_kaldi_dir, extract_segments
+    from .data.audio import read_wav
+
+    ds = dataset_from_kaldi_dir(data_dir)
+    recs: Dict[str, np.ndarray] = {}
+    rate = expected_rate
+    for u in ds:
+        key = u.recording or u.utt_id
+        if key not in recs:
+            x, r = read_wav(u.wav)
+            if r != expected_rate:
+                raise ValueError(
+                    f"{u.wav}: sample rate {r} != configured {expected_rate}"
+                )
+            recs[key] = x
+    audio = extract_segments(recs, ds, rate)
+    return ds, audio
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sepi_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("variant", choices=["v1", "v2", "v3", "v4", "v5"])
+    p.add_argument("--train-data", required=True, help="Kaldi data dir (training)")
+    p.add_argument("--enroll-data", required=True,
+                   help="Kaldi data dir defining enrollment models (spk2utt)")
+    p.add_argument("--eval-data", default=None, help="Kaldi data dir (test)")
+    p.add_argument("--trials", required=True, help="NIST trial list")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--num-steps", type=int, default=2000)
+    p.add_argument("--am-steps", type=int, default=1000, help="v4/v5 AM pretrain steps")
+    p.add_argument("--min-chunk", type=int, default=200,
+                   help="min training chunk length in frames (--min-frames-per-chunk)")
+    p.add_argument("--max-chunk", type=int, default=400,
+                   help="max training chunk length in frames (--max-frames-per-chunk)")
+    p.add_argument("--chunk-buckets", type=int, default=8,
+                   help="distinct static chunk lengths (XLA shape buckets)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--sample-rate", type=int, default=8000)
+    p.add_argument("--adapt-data", default=None,
+                   help="unlabeled in-domain dir for PLDA adaptation (SRE16)")
+    p.add_argument("--text", default=None, help="Kaldi transcripts (v3/v4/v5)")
+    p.add_argument("--lexicon", default=None, help="pronunciation lexicon (v3/v4/v5)")
+    p.add_argument("--num-leaves", type=int, default=4096)
+    p.add_argument("--fmllr", action="store_true",
+                   help="speaker-adaptive re-alignment pass in the s5 stage")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .config import AlignConfig, ChunkConfig, TrainConfig
+    from .data.manifest import load_trials
+    from .recipes import drivers
+
+    train_cfg = TrainConfig(
+        chunks=ChunkConfig(
+            min_chunk_len=args.min_chunk, max_chunk_len=args.max_chunk,
+            num_buckets=args.chunk_buckets,
+            frames_per_chunk_avg=(args.min_chunk + args.max_chunk) // 2,
+        ),
+        batch_size=args.batch_size,
+    )
+
+    train_ds, train_audio = _load_corpus(args.train_data, args.sample_rate)
+    enroll_ds, enroll_audio = _load_corpus(args.enroll_data, args.sample_rate)
+    if args.eval_data:
+        eval_ds, eval_audio = _load_corpus(args.eval_data, args.sample_rate)
+    else:
+        eval_ds, eval_audio = enroll_ds, {}
+    trials = load_trials(args.trials)
+    enroll = enroll_ds.spk2utt
+    # the extractor needs every trial-side utterance's audio available
+    eval_audio = {**enroll_audio, **eval_audio}
+
+    adapt_kw = {}
+    if args.adapt_data:
+        adapt_ds, adapt_audio = _load_corpus(args.adapt_data, args.sample_rate)
+        adapt_kw = (
+            {"adapt_audio": adapt_audio} if args.variant == "v1"
+            else {"adapt_dataset": adapt_ds, "adapt_audio": adapt_audio}
+        )
+
+    phonetic_kw = {}
+    if args.variant in ("v3", "v4", "v5"):
+        if not (args.text and args.lexicon):
+            raise SystemExit(
+                f"{args.variant} needs --text and --lexicon (the s5 aligner "
+                "inputs) or precomputed alignments via the Python API"
+            )
+        phonetic_kw = dict(
+            transcripts=load_transcripts(args.text),
+            lexicon=load_lexicon(args.lexicon),
+            align_cfg=AlignConfig(num_leaves=args.num_leaves, fmllr=args.fmllr),
+        )
+
+    if args.variant == "v1":
+        res = drivers.run_v1(train_ds, train_audio, eval_audio, trials, enroll,
+                             args.workdir, **adapt_kw)
+    elif args.variant == "v2":
+        res = drivers.run_v2(train_ds, train_audio, eval_ds, eval_audio, trials,
+                             enroll, args.workdir, train_cfg=train_cfg,
+                             num_steps=args.num_steps, **adapt_kw)
+    elif args.variant == "v3":
+        res = drivers.run_v3(train_ds, train_audio, eval_audio, trials, enroll,
+                             args.workdir, train_cfg=train_cfg,
+                             num_steps=args.num_steps, **phonetic_kw)
+    elif args.variant == "v4":
+        res = drivers.run_v4(train_ds, train_audio, eval_audio, trials, enroll,
+                             args.workdir, train_cfg=train_cfg,
+                             am_steps=args.am_steps,
+                             num_steps=args.num_steps, **phonetic_kw)
+    else:
+        res = drivers.run_v5(train_ds, train_audio, eval_audio, trials, enroll,
+                             args.workdir, train_cfg=train_cfg,
+                             am_steps=args.am_steps,
+                             num_steps=args.num_steps, **phonetic_kw)
+    print(res.report)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""CLI recipe runner: Kaldi-dir in, report + artifacts out."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sepi_tpu.cli import load_lexicon, load_transcripts, main
+from sepi_tpu.data import make_synthetic_corpus
+from sepi_tpu.data.audio import write_wav
+from sepi_tpu.data.corpora import write_kaldi_dir
+from sepi_tpu.data.manifest import save_trials
+
+
+@pytest.fixture(scope="module")
+def cli_world(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = make_synthetic_corpus(num_speakers=5, utts_per_speaker=4, seed=41)
+    wavs = root / "wavs"
+    wavs.mkdir()
+    utts = []
+    for u in corpus.dataset:
+        p = str(wavs / f"{u.utt_id}.wav")
+        write_wav(p, corpus.audio[u.utt_id], 8000)
+        utts.append(u.replace(wav=p))
+    from sepi_tpu.data.manifest import Dataset
+
+    ds = Dataset(utts, "cli")
+    ddir = str(root / "data")
+    write_kaldi_dir(ds, ddir)
+    trials_path = str(root / "trials")
+    save_trials(corpus.trials, trials_path)
+    return root, ddir, trials_path
+
+
+def test_cli_v2_end_to_end(cli_world, capsys):
+    root, ddir, trials = cli_world
+    wd = str(root / "exp_v2")
+    rc = main([
+        "v2", "--train-data", ddir, "--enroll-data", ddir,
+        "--trials", trials, "--workdir", wd, "--num-steps", "60",
+        "--min-chunk", "50", "--max-chunk", "100", "--chunk-buckets", "2",
+        "--batch-size", "16",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pooled" in out and "EER" in out
+    assert os.path.exists(f"{wd}/xvector.scp")
+    assert os.path.exists(f"{wd}/det_pooled.svg")
+    assert os.path.exists(f"{wd}/metrics.jsonl")
+
+
+def test_cli_v3_requires_text_and_lexicon(cli_world):
+    root, ddir, trials = cli_world
+    with pytest.raises(SystemExit, match="text"):
+        main(["v3", "--train-data", ddir, "--enroll-data", ddir,
+              "--trials", trials, "--workdir", str(root / "exp_v3")])
+
+
+def test_cli_table_loaders(tmp_path):
+    t = tmp_path / "text"
+    t.write_text("utt1 hello world\nutt2 foo\n")
+    tr = load_transcripts(str(t))
+    assert tr == {"utt1": ["hello", "world"], "utt2": ["foo"]}
+    lx = tmp_path / "lexicon.txt"
+    lx.write_text("hello h eh l ow\nworld w er l d\nhello h ax l ow\n")
+    lex = load_lexicon(str(lx))
+    assert lex.pron["hello"] == ("h", "eh", "l", "ow")  # first pron wins
+    assert "sil" == lex.phones[0]
+
+
+def test_cli_rejects_wrong_sample_rate(cli_world):
+    root, ddir, trials = cli_world
+    with pytest.raises(ValueError, match="sample rate"):
+        main(["v2", "--train-data", ddir, "--enroll-data", ddir,
+              "--trials", trials, "--workdir", str(root / "x"),
+              "--sample-rate", "16000"])
