@@ -112,8 +112,11 @@ def main():
     chunk_len, tb = 200, 64
     feats_v2 = jnp.asarray(rng.normal(size=(tb, chunk_len, 23)).astype(np.float32))
     labels_v2 = jnp.asarray(rng.integers(0, 5000, size=tb).astype(np.int32))
-    state_v2 = create_train_state(model, tx, jax.random.PRNGKey(1), feats_v2)
-    v2_step = make_xvec_step(model, tx)
+    # Training measures the bfloat16 MXU fast path (convergence parity
+    # pinned by tests/test_optim_variants.py); params/losses stay f32.
+    train_model = XVector(cfg, dtype="bfloat16")
+    state_v2 = create_train_state(train_model, tx, jax.random.PRNGKey(1), feats_v2)
+    v2_step = make_xvec_step(train_model, tx)
     dt_v2 = time_loop(lambda st, f, l: v2_step(st, f, l, 1.0)[0],
                       state_v2, feats_v2, labels_v2)
     v2_train_tput = tb * chunk_len * 0.01 / dt_v2  # 10 ms frames -> audio s
@@ -121,7 +124,7 @@ def main():
           f"({v2_train_tput:.0f} audio-s/s)", file=sys.stderr)
 
     v5_cfg = dataclasses.replace(CombinedConfig(), num_speakers=5000, num_senones=4000)
-    v5 = CombinedCVector(v5_cfg)
+    v5 = CombinedCVector(v5_cfg, dtype="bfloat16")
     al, ar = v5_cfg.am_context
     am_b, am_len = 128, 8
     feats_am = jnp.asarray(

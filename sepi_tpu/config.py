@@ -179,6 +179,11 @@ class TrainConfig:
     # picks repeats_per_spk so the two streams' batch counts balance
     # (what the reference's hand-tuned 7500 achieves at its scale).
     repeats_per_spk: int = 0  # 0 = auto-balance
+    # MXU compute dtype for the model's conv stacks ("bfloat16" for the
+    # TPU fast path).  Params, batch-norm statistics, output logits and
+    # the loss stay float32; convergence parity is pinned by
+    # tests/test_optim_variants.py::test_bfloat16_training_converges.
+    compute_dtype: str = "float32"
     seed: int = 123
     steps_per_eval: int = 100
     checkpoint_every: int = 100

@@ -74,11 +74,15 @@ class AmNet(nn.Module):
 
     cfg: AmConfig
     bn_momentum: float = 0.95
+    # MXU compute dtype for the conv stack ("bfloat16" for the fast
+    # path); params and the senone logits stay float32.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, train: bool = False, with_logits: bool = True):
         stream = TdnnStack(
-            self.cfg.specs, bn_momentum=self.bn_momentum, name="frames"
+            self.cfg.specs, bn_momentum=self.bn_momentum, dtype=self.dtype,
+            name="frames"
         )(Stream(feats, 0, 0), train)
         out = {"bottleneck": stream}
         if with_logits:
@@ -152,19 +156,22 @@ class MultitaskCVector(nn.Module):
 
     cfg: MultitaskConfig
     bn_momentum: float = 0.95
+    dtype: str = "float32"  # MXU compute dtype; params/logits stay f32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False,
                  task: str = "both"):
         cfg = self.cfg
         bm = self.bn_momentum
-        shared = TdnnStack(cfg.shared_specs, bn_momentum=bm, name="shared")(
+        dt = self.dtype
+        shared = TdnnStack(cfg.shared_specs, bn_momentum=bm, dtype=dt, name="shared")(
             Stream(feats, 0, 0), train
         )
         out = {}
         if task in ("am", "both"):
             am = TdnnStack(
-                _am_branch(cfg.num_shared, cfg.hidden_dim), bn_momentum=bm, name="am_branch"
+                _am_branch(cfg.num_shared, cfg.hidden_dim), bn_momentum=bm,
+                dtype=dt, name="am_branch"
             )(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am.x)
             out["am_context"] = (am.left, am.right)
@@ -172,6 +179,7 @@ class MultitaskCVector(nn.Module):
             xv = TdnnStack(
                 _xvec_branch(cfg.num_shared, cfg.hidden_dim, cfg.pool_dim),
                 bn_momentum=bm,
+                dtype=dt,
                 name="xvec_branch",
             )(shared, train)
             pooled_mask = None
@@ -181,7 +189,8 @@ class MultitaskCVector(nn.Module):
             pooled = StatsPooling(name="stats")(xv.x, pooled_mask)
             out.update(
                 SegmentHead(
-                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, dtype=dt,
+                    name="segment"
                 )(pooled, train)
             )
         return out
@@ -219,18 +228,21 @@ class AdaptedXVector(nn.Module):
 
     cfg: AdaptedConfig
     bn_momentum: float = 0.95
+    dtype: str = "float32"  # MXU compute dtype; params/logits stay f32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False):
         cfg = self.cfg
         bm = self.bn_momentum
-        am = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
+        dt = self.dtype
+        am = AmNet(cfg.am, bn_momentum=bm, dtype=dt, name="am")(
+            feats, train, with_logits=False)
         xv = TdnnStack(
-            _prefix(cfg.hidden_dim)[:4], bn_momentum=bm, name="xvec_branch"
+            _prefix(cfg.hidden_dim)[:4], bn_momentum=bm, dtype=dt, name="xvec_branch"
         )(Stream(feats, 0, 0), train)
         merged = append_streams([xv, am["bottleneck"]])
         h = TdnnLayer(
-            TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, name="tdnn5"
+            TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, dtype=dt, name="tdnn5"
         )(merged.x, train)
         stream = Stream(h, merged.left, merged.right)
         pooled_mask = None
@@ -239,7 +251,8 @@ class AdaptedXVector(nn.Module):
             pooled_mask = frame_mask[:, ctx : ctx + stream.x.shape[1]]
         pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
         return SegmentHead(
-            cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+            cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, dtype=dt,
+            name="segment"
         )(pooled, train)
 
 
@@ -292,32 +305,37 @@ class CombinedCVector(nn.Module):
 
     cfg: CombinedConfig
     bn_momentum: float = 0.95
+    dtype: str = "float32"  # MXU compute dtype; params/logits stay f32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, frame_mask=None, train: bool = False,
                  task: str = "both"):
         cfg = self.cfg
         bm = self.bn_momentum
+        dt = self.dtype
         shared = TdnnStack(
-            _prefix(cfg.hidden_dim)[:1], bn_momentum=bm, name="shared"
+            _prefix(cfg.hidden_dim)[:1], bn_momentum=bm, dtype=dt, name="shared"
         )(Stream(feats, 0, 0), train)
         out = {}
         if task in ("am", "both"):
             am_b = TdnnStack(
-                _am_branch(1, cfg.hidden_dim), bn_momentum=bm, name="am_branch"
+                _am_branch(1, cfg.hidden_dim), bn_momentum=bm, dtype=dt,
+                name="am_branch"
             )(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am_b.x)
             out["am_context"] = (am_b.left, am_b.right)
         if task in ("xvec", "both"):
-            pre = AmNet(cfg.am, bn_momentum=bm, name="am")(feats, train, with_logits=False)
+            pre = AmNet(cfg.am, bn_momentum=bm, dtype=dt, name="am")(
+                feats, train, with_logits=False)
             xv = TdnnStack(
                 _xvec_branch(1, cfg.hidden_dim, cfg.pool_dim)[:-1],
                 bn_momentum=bm,
+                dtype=dt,
                 name="xvec_branch",
             )(shared, train)
             merged = append_streams([xv, pre["bottleneck"]])
             h = TdnnLayer(
-                TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, name="tdnn5"
+                TdnnSpec(cfg.pool_dim, (0,)), bn_momentum=bm, dtype=dt, name="tdnn5"
             )(merged.x, train)
             stream = Stream(h, merged.left, merged.right)
             pooled_mask = None
@@ -327,7 +345,8 @@ class CombinedCVector(nn.Module):
             pooled = StatsPooling(name="stats")(stream.x, pooled_mask)
             out.update(
                 SegmentHead(
-                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, name="segment"
+                    cfg.embed_dim, cfg.num_speakers, bn_momentum=bm, dtype=dt,
+                    name="segment"
                 )(pooled, train)
             )
         return out

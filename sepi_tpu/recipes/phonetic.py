@@ -130,7 +130,7 @@ def train_am_model(
     log=None,
 ):
     """v4 stage 0: pretrain the bottleneck ASR TDNN on frame egs."""
-    model = AmNet(am_cfg)
+    model = AmNet(am_cfg, dtype=train_cfg.compute_dtype)
     sampler = FrameSampler(
         features,
         alignments,
@@ -193,7 +193,7 @@ def train_multitask_model(
     checkpoint_dir=None,
 ):
     """v3: two-head training on interleaved single-task minibatches."""
-    model = MultitaskCVector(model_cfg)
+    model = MultitaskCVector(model_cfg, dtype=train_cfg.compute_dtype)
     l, r = model_cfg.am_context
     am_sampler, xvec_sampler, interleaver = _multitask_iter(
         features, alignments, dataset, train_cfg, (l, r), num_steps
@@ -237,7 +237,7 @@ def train_adapted_model(
     log=None,
 ):
     """v4: graft the pretrained AM, scale its LR, train on speaker chunks."""
-    model = AdaptedXVector(model_cfg)
+    model = AdaptedXVector(model_cfg, dtype=train_cfg.compute_dtype)
     sampler = ChunkSampler(features, dataset, train_cfg.chunks, train_cfg.batch_size, train_cfg.seed)
     tx, _ = build_optimizer(
         train_cfg.optimizer, num_steps, lr_factors={"am": am_lr_factor}
@@ -271,7 +271,7 @@ def train_combined_model(
     checkpoint_dir=None,
 ):
     """v5: pretrained-AM graft + multitask two-head training."""
-    model = CombinedCVector(model_cfg)
+    model = CombinedCVector(model_cfg, dtype=train_cfg.compute_dtype)
     # am-task frame egs use the multitask AM head's receptive field,
     # derived from the model's Stream accounting (vars_am analog)
     am_sampler, xvec_sampler, interleaver = _multitask_iter(

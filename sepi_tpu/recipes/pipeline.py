@@ -171,7 +171,7 @@ def train_xvector_model(
     label_map = dataset.speaker_label_map()
     if model_cfg is None:
         model_cfg = XVectorConfig(feat_dim=feat_dim, num_speakers=len(label_map))
-    model = XVector(model_cfg)
+    model = XVector(model_cfg, dtype=train_cfg.compute_dtype)
 
     train_ds, valid_batches = dataset, None
     eval_steps = None

@@ -79,3 +79,42 @@ def test_bfloat16_training_converges(world):
     acc_bf16, _ = _train(world, opt, dtype="bfloat16")
     assert acc_bf16 > 0.8, f"bf16 accuracy {acc_bf16:.2f}"
     assert acc_bf16 >= acc_f32 - 0.1
+
+
+def test_bfloat16_multitask_step_finite(world):
+    """compute_dtype plumbs through the cvector models: one am + one
+    xvec minibatch on a bf16 MultitaskCVector keeps f32 params and a
+    finite objective."""
+    import jax
+    import jax.numpy as jnp
+
+    from sepi_tpu.data.sampler import ChunkSampler, FrameSampler
+    from sepi_tpu.models import MultitaskConfig
+    from sepi_tpu.models.cvector import MultitaskCVector
+    from sepi_tpu.recipes.phonetic import pseudo_senone_alignments
+    from sepi_tpu.train import build_optimizer, create_train_state
+    from sepi_tpu.train.trainer import make_am_step, make_xvec_step
+
+    corpus, nosil = world
+    ali = pseudo_senone_alignments(nosil, 6, seed=5)
+    cfg = MultitaskConfig(feat_dim=23, num_speakers=5, num_senones=6,
+                          num_shared=1, embed_dim=32, hidden_dim=24, pool_dim=48)
+    model = MultitaskCVector(cfg, dtype="bfloat16")
+    tx, _ = build_optimizer(OptimizerConfig(initial_lr=0.01), 10)
+    xv = ChunkSampler(nosil, corpus.dataset,
+                      ChunkConfig(min_chunk_len=50, max_chunk_len=80, num_buckets=1),
+                      batch_size=8, seed=1)
+    l, r = cfg.am_context
+    am = FrameSampler(nosil, ali, chunk_len=8, batch_size=16, seed=1, context=(l, r))
+    probe = xv.sample_batch(xv.buckets[0])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), probe.feats,
+                               model_kwargs={"task": "both"})
+    xstep = make_xvec_step(model, tx, task_kwargs={"task": "xvec"})
+    astep = make_am_step(model, tx, task_kwargs={"task": "am"})
+    state, m1 = xstep(state, probe.feats, probe.labels)
+    ab = am.sample_batch()
+    state, m2 = astep(state, ab.feats, ab.labels)
+    assert jnp.isfinite(m1["objf"]) and jnp.isfinite(m2["objf"])
+    # params must remain float32 (bf16 is compute-only)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(p.dtype == jnp.float32 for p in leaves)
