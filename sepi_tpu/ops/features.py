@@ -149,15 +149,19 @@ class FeatureExtractor:
         fe = FeatureExtractor(cfg)
         feats, mask = fe.mfcc(samples, lengths, key)   # (B, T, num_ceps)
 
-    ``spectral_mode``: 'slices' (default) is the block-row-slices + GEMM
-    fused path; 'conv' expresses framing+DFT as ONE strided convolution
-    (no frames tensor materialized) — measured 2.5x SLOWER on v5e
-    (13.9 vs 5.45 ms on the 16x100 s bench batch: XLA lowers the
-    stride-80/window-200/258-channel conv poorly), kept as a tested
-    alternative for future hardware/compilers.
+    ``spectral_mode``:
+    - 'auto' (default): on TPU, dither-free raw-energy MFCC runs as ONE
+      fused Pallas kernel (framing+DFT+mel+DCT in VMEM, no frames
+      tensor in HBM — mfcc_pallas.py); everything else uses 'slices'.
+    - 'slices': the block-row-slices + GEMM fused path (pure XLA).
+    - 'conv': framing+DFT as ONE strided convolution (no frames tensor
+      materialized) — measured 2.5x SLOWER on v5e (13.9 vs 5.45 ms on
+      the 16x100 s bench batch: XLA lowers the stride-80/window-200/
+      258-channel conv poorly), kept as a tested alternative for future
+      hardware/compilers.
     """
 
-    def __init__(self, cfg: FrontendConfig, spectral_mode: str = "slices"):
+    def __init__(self, cfg: FrontendConfig, spectral_mode: str = "auto"):
         self.cfg = cfg
         self.spectral_mode = spectral_mode
         self._mel = jnp.asarray(mel_banks(cfg))
@@ -287,6 +291,14 @@ class FeatureExtractor:
     @partial(jax.jit, static_argnames=("self", "max_frames"))
     def _mfcc_impl(self, samples, lengths, max_frames, key):
         cfg = self.cfg
+        if (key is None or cfg.dither == 0.0) and self.spectral_mode in (
+                "auto", "pallas"):
+            from .mfcc_pallas import mfcc_fused, supported
+
+            on_tpu = jax.default_backend() == "tpu"
+            if supported(cfg) and (on_tpu or self.spectral_mode == "pallas"):
+                return mfcc_fused(samples, lengths, cfg, max_frames,
+                                  interpret=not on_tpu)
         log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
         ceps = jnp.dot(log_mel, self._dct, preferred_element_type=jnp.float32)
         ceps = ceps * self._lifter

@@ -23,3 +23,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(123)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A long single-process serial run (`pytest tests/ -x -q`) accumulates
+    hundreds of XLA:CPU executables; past ~200 tests the NEXT backend
+    compile segfaults inside LLVM (reproducibly at the same test, but
+    only with the full-suite prefix — any half of the suite passes).
+    Dropping the jit caches between modules keeps the live-executable
+    population bounded and costs only intra-module cache reuse, which is
+    minimal (shapes/configs differ per module anyway).
+    """
+    yield
+    jax.clear_caches()
