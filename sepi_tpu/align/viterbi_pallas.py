@@ -32,18 +32,23 @@ _NEG = -1e30
 _BLK = 256  # max time-block; shrunk adaptively so tiles fit VMEM
 
 
-def _pick_blk(b: int, s: int, budget_bytes: int = 4 << 20) -> int:
-    """Largest power-of-two time block whose (blk, B, S) f32 tile fits the
-    per-tile VMEM budget — at tied-senone scale (S=512+) the fixed
-    256-step block exceeds the 16 MB scoped VMEM and the kernel fails to
-    compile; shrinking the block trades pipeline depth for fit."""
+def _pick_blk(b: int, s: int, bp_bytes: int = 4,
+              budget_bytes: int = 7 << 20) -> int:
+    """Largest power-of-two time block fitting the VMEM budget.
+
+    Both the (blk, B, S) emission tile (f32 in) and the backpointer tile
+    (bp_bytes out) are double-buffered by the pipeline, so the resident
+    VMEM is ~2*blk*B*S*(4+bp_bytes); at tied-senone scale (S=512+) an
+    unbudgeted 256-step block exceeds the ~16 MB scoped VMEM and Mosaic
+    fails to compile.  Counting the bp tile (r2 fix) keeps bp32 at
+    S=512 compiling (blk 64) while int8 backpointers earn blk 128."""
     blk = _BLK
-    while blk > 8 and blk * b * s * 4 > budget_bytes:
+    while blk > 8 and blk * b * s * (4 + bp_bytes) > budget_bytes:
         blk //= 2
     return blk
 
 
-def _make_kernel(skip: int, blk_len: int):
+def _make_kernel(skip: int, blk_len: int, bp_dtype, unroll: int):
     def kernel(emit_ref, trans_ref, tlen_ref, bp_ref, delta_out_ref, delta_ref):
         blk = pl.program_id(0)
         _blk_len = blk_len
@@ -72,11 +77,11 @@ def _make_kernel(skip: int, blk_len: int):
             live = (t >= 1) & (t < tl)
             # leading (time) dim of a 3D ref is untiled: dynamic row
             # indexing is legal there, unlike sublane rows of a 2D ref
-            bp_ref[j] = jnp.where(live, bp, 0).astype(jnp.int32)
+            bp_ref[j] = jnp.where(live, bp, 0).astype(bp_dtype)
             delta_ref[:] = jnp.where(live, best + emit_ref[j], d)
             return 0
 
-        jax.lax.fori_loop(0, _blk_len, body, 0)
+        jax.lax.fori_loop(0, _blk_len, body, 0, unroll=unroll)
 
         @pl.when(blk == pl.num_programs(0) - 1)
         def _():
@@ -85,17 +90,48 @@ def _make_kernel(skip: int, blk_len: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("skip", "interpret"))
+@partial(jax.jit, static_argnames=("skip", "interpret", "bp_bits", "unroll"))
 def viterbi_batch(
     state_emit: jnp.ndarray,  # (B, T, S) per-state log emissions
     t_len: jnp.ndarray,  # (B,) true frame counts
     trans: jnp.ndarray,  # (B, 3, S) transition log-probs per arc kind
     skip: int = 4,
     interpret: bool = False,
+    bp_bits: int | None = None,
+    unroll: int | None = None,
 ):
-    """Returns (bps (B, T-1, S) int8, delta (B, S) final scores)."""
+    """Returns (bps (B, T-1, S) int8, delta (B, S) final scores).
+
+    ``bp_bits`` (None = auto): backpointer HBM width.  int8 quarters the
+    write traffic and VMEM tile, buying a deeper pipeline at large S
+    (v5e, B=16 T=2048 S=512: 0.90 vs FAIL-to-compile us/step), but its
+    (32, 128) tiling wastes lanes when S pads badly (S=144: 1.21 vs
+    1.04), so auto picks int8 only when S fills lane tiles.
+    ``unroll`` (None = full): Mosaic supports only unroll=1 or the full
+    block; full unrolling removes the loop-carried overhead (v5e:
+    S=512 1.84 -> 1.61 ms, S=144 2.13 -> 1.99 ms at B=16 T=2048).
+    """
     b, t, s = state_emit.shape
-    blk_len = _pick_blk(b, s)
+    s_real = s
+    if s % 128:
+        # Lane-align the state axis with dead (-inf) states: Mosaic fails
+        # to compile some non-128-multiple (B, S) roll tiles (B=32, S=144
+        # reproducibly crashes the TPU compiler), and VMEM pads lanes to
+        # 128 anyway so the explicit pad costs nothing extra.  Dead
+        # states stay -inf forever (-inf transitions in their lanes and
+        # into lane 0's wrap), so outputs sliced back to S are exact.
+        pad = 128 - s % 128
+        state_emit = jnp.pad(state_emit, ((0, 0), (0, 0), (0, pad)),
+                             constant_values=_NEG)
+        trans = jnp.pad(trans, ((0, 0), (0, 0), (0, pad)),
+                        constant_values=_NEG)
+        s += pad
+    if bp_bits is None:
+        bp_bits = 8 if s >= 256 else 32
+    blk_len = _pick_blk(b, s, bp_bytes=bp_bits // 8)
+    if unroll is None:
+        # interpret mode (CPU tests) would pay blk_len x trace time
+        unroll = 1 if interpret else blk_len
     t_pad = -(-t // blk_len) * blk_len
     # time-major so each grid step reads one contiguous (BLK, B, S) tile
     emit_tm = jnp.moveaxis(state_emit, 1, 0)  # (T, B, S)
@@ -105,8 +141,9 @@ def viterbi_batch(
     tlen2d = jnp.broadcast_to(t_len.astype(jnp.int32)[:, None], (b, s))
     n_blocks = t_pad // blk_len
 
+    bp_dtype = {32: jnp.int32, 8: jnp.int8}[bp_bits]
     bps_tm, delta = pl.pallas_call(
-        _make_kernel(skip, blk_len),
+        _make_kernel(skip, blk_len, bp_dtype, unroll),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((blk_len, b, s), lambda i: (i, 0, 0)),
@@ -118,15 +155,15 @@ def viterbi_batch(
             pl.BlockSpec((b, s), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b, s), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, b, s), bp_dtype),
             jax.ShapeDtypeStruct((b, s), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
         interpret=interpret,
     )(emit_tm, trans_bm, tlen2d)
     # bp row t holds the backpointer for step t; row 0 is unused
-    bps = jnp.moveaxis(bps_tm[1:t], 0, 1).astype(jnp.int8)  # (B, T-1, S)
-    return bps, delta
+    bps = jnp.moveaxis(bps_tm[1:t, :, :s_real], 0, 1).astype(jnp.int8)
+    return bps, delta[:, :s_real]  # (B, T-1, S), (B, S)
 
 
 def viterbi_batch_reference(state_emit, t_len, trans, skip=4):

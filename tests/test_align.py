@@ -163,6 +163,30 @@ def test_pallas_viterbi_matches_reference(rng):
     np.testing.assert_array_equal(np.asarray(bp_p), np.asarray(bp_r))
 
 
+def test_pallas_viterbi_variants_and_lane_padding(rng):
+    """Non-128-multiple S (lane-padded with dead states inside the
+    kernel wrapper), int8 backpointers, and loop unrolling all preserve
+    the reference outputs exactly."""
+    import jax.numpy as jnp
+
+    from sepi_tpu.align.viterbi_pallas import viterbi_batch, viterbi_batch_reference
+
+    B, T, S, skip = 2, 30, 139, 4  # S forces the lane-padding path
+    emit = rng.normal(size=(B, T, S)).astype(np.float32)
+    tlen = np.array([30, 17], np.int32)
+    trans = np.full((B, 3, S), -1e30, np.float32)
+    trans[:, 0, :] = np.log(0.6)
+    trans[:, 1, 1:] = np.log(0.4)
+    trans[:, 2, skip:] = np.log(0.2)
+    args = (jnp.asarray(emit), jnp.asarray(tlen), jnp.asarray(trans), skip)
+    bp_r, d_r = viterbi_batch_reference(*args)
+    for kw in ({}, {"bp_bits": 8}, {"bp_bits": 32, "unroll": 2}):
+        bp_p, d_p = viterbi_batch(*args, interpret=True, **kw)
+        assert bp_p.shape == bp_r.shape and d_p.shape == d_r.shape
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bp_p), np.asarray(bp_r))
+
+
 def test_batched_align_matches_per_utterance(world):
     """The bucketed batched Viterbi path must reproduce per-utterance
     alignments exactly (CPU: vectorized scan backend)."""
