@@ -1,7 +1,7 @@
 from .manifest import Dataset, Utterance, Trial, load_trials, save_trials
 from .sampler import ChunkSampler, ChunkBatch
 from .synthetic import make_synthetic_corpus, SyntheticCorpus, make_phonetic_corpus, PhoneticCorpus
-from .audio import AudioStore, extract_segments, read_wav, write_wav
+from .audio import AudioStore, extract_segments, read_audio, read_wav, write_wav
 from .corpora import (
     dataset_from_table,
     dataset_from_wav_tree,
@@ -23,6 +23,7 @@ __all__ = [
     "SyntheticCorpus",
     "AudioStore",
     "extract_segments",
+    "read_audio",
     "read_wav",
     "write_wav",
     "dataset_from_table",

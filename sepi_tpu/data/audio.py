@@ -47,6 +47,20 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return x, rate
 
 
+def read_audio(path: str, channel: int = 1) -> Tuple[np.ndarray, int]:
+    """Read a PCM WAV or NIST SPHERE file by extension.
+
+    SPHERE (.sph) covers the LDC corpora the reference ingests through
+    `sph2pipe` pipes (local/make_sre.pl); decoding — including
+    embedded-shorten payloads — is native (native/sphere.cc).
+    ``channel`` is 1-based and only meaningful for SPHERE."""
+    if path.lower().endswith(".sph"):
+        from ..utils.sphere import read_sph
+
+        return read_sph(path, channel)
+    return read_wav(path)
+
+
 def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
     x = np.round(np.clip(np.asarray(samples), -32768, 32767)).astype("<i2")
     with wave.open(path, "wb") as w:
@@ -74,8 +88,9 @@ class AudioStore:
     def register_loader(self, scheme: str, fn: Callable[[str], np.ndarray]) -> None:
         self._loaders[scheme] = fn
 
-    def load(self, ref: str, expect_rate: Optional[int] = None) -> np.ndarray:
-        if self._cache is not None and ref in self._cache:
+    def load(self, ref: str, expect_rate: Optional[int] = None,
+             channel: int = 1) -> np.ndarray:
+        if self._cache is not None and channel == 1 and ref in self._cache:
             return self._cache[ref]
         if ":" in ref and not ref[1:3] == ":\\":
             scheme, key = ref.split(":", 1)
@@ -86,16 +101,23 @@ class AudioStore:
             else:
                 raise KeyError(f"unregistered audio scheme {scheme!r} in {ref!r}")
         else:
-            x, rate = read_wav(ref)
+            x, rate = read_audio(ref, channel)
             if expect_rate is not None and rate != expect_rate:
                 raise ValueError(f"{ref}: rate {rate} != expected {expect_rate}")
-        if self._cache is not None:
+        if self._cache is not None and channel == 1:
             self._cache[ref] = x
         return x
 
+    def load_utterance(self, u) -> np.ndarray:
+        """Resolve one manifest row, honoring its channel/codec meta (the
+        LDC walkers mark 2-channel SPHERE sides with ("channel", "2"))."""
+        return self.load(
+            u.wav, u.sample_rate, channel=int(u.get_meta("channel", "1"))
+        )
+
     def load_dataset(self, dataset: Dataset) -> Dict[str, np.ndarray]:
         return {
-            u.utt_id: self.load(u.wav, u.sample_rate)
+            u.utt_id: self.load_utterance(u)
             for u in dataset
             if u.wav is not None
         }

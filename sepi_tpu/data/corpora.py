@@ -61,10 +61,39 @@ def dataset_from_wav_tree(
     return dataset_from_table(rows, name)
 
 
+def _parse_sph2pipe(cmd: str):
+    """Recognize the reference's `sph2pipe -f wav [-p] [-c N] x.sph |`
+    wav.scp pipelines (local/make_sre.pl and every LDC walker emit this
+    form) -> (sph_path, channel) — decoded natively instead of forked.
+    Returns None for any other pipeline."""
+    toks = cmd.rstrip("|").split()
+    if not toks or "sph2pipe" not in os.path.basename(toks[0]):
+        return None
+    channel = "1"
+    sph = None
+    i = 1
+    while i < len(toks):
+        t = toks[i]
+        if t == "-c" and i + 1 < len(toks):
+            channel = toks[i + 1]
+            i += 2
+        elif t in ("-f", "-t", "-s") and i + 1 < len(toks):
+            i += 2
+        elif t.startswith("-"):
+            i += 1
+        else:
+            sph = t
+            i += 1
+    if sph is None or not sph.lower().endswith(".sph"):
+        return None
+    return sph, channel
+
+
 def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
     """Interop: read a Kaldi data dir (wav.scp + utt2spk [+ utt2num_frames,
-    utt2dur, utt2uniq]).  wav.scp entries that are command pipelines
-    (ending in '|') are rejected — materialize them to wav first."""
+    utt2dur, utt2uniq]).  wav.scp sph2pipe pipelines are converted to
+    native SPHERE references (channel kept as utterance meta); other
+    command pipelines are rejected — materialize them to wav first."""
 
     def read_map(fname) -> Dict[str, str]:
         p = os.path.join(path, fname)
@@ -100,11 +129,17 @@ def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
         w = wav.get(rec)
         if w is None:
             continue
+        meta = ()
         if w.endswith("|"):
-            raise ValueError(
-                f"{utt_id}: wav.scp command pipeline {w!r} not supported — "
-                "materialize to wav files first"
-            )
+            parsed = _parse_sph2pipe(w)
+            if parsed is None:
+                raise ValueError(
+                    f"{utt_id}: wav.scp command pipeline {w!r} not supported "
+                    "— only sph2pipe pipes decode natively; materialize "
+                    "others to wav files first"
+                )
+            w, channel = parsed
+            meta = (("channel", channel), ("codec", "sph"))
         dur = float(u2dur[utt_id]) if utt_id in u2dur else None
         if dur is None and start is not None:
             dur = end - start
@@ -117,6 +152,7 @@ def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
                 recording=rec if utt_id in segments else None,
                 start=start,
                 end=end,
+                meta=meta,
             )
         )
     return Dataset(utts, name or os.path.basename(path))

@@ -9,8 +9,9 @@ distribution ships keys), instead of emitting shell data-dirs.
 Audio references: LDC speech ships as 2-channel NIST SPHERE (.sph); the
 reference pipes through `sph2pipe -f wav -p -c N`.  Here each utterance
 keeps ``wav`` = the .sph path with ``meta`` ``("channel", "1"|"2")`` and
-``("codec", "sph")`` — materialize to wav (sph2pipe or any sphere
-decoder) before `AudioStore` ingestion; MUSAN is plain wav and loads
+``("codec", "sph")``; `AudioStore.load_dataset` decodes these natively
+(native/sphere.cc: PCM/mu-law/A-law + embedded-shorten — the sph2pipe
+equivalent), honoring the channel meta.  MUSAN is plain wav and loads
 directly.  Gender rides in ``meta`` ("gender", "m"|"f") replacing
 spk2gender files.
 """

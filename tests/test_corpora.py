@@ -50,11 +50,17 @@ def test_kaldi_dir_roundtrip(tmp_path):
     assert back.spk2utt == {"s1": ["u1", "u2"]}
 
 
-def test_kaldi_dir_rejects_pipelines(tmp_path):
+def test_kaldi_dir_pipelines(tmp_path):
+    # sph2pipe pipes (the reference's wav.scp convention) parse natively;
+    # arbitrary other pipelines are still rejected.
     d = tmp_path / "k"
     d.mkdir()
-    (d / "wav.scp").write_text("u1 sph2pipe -f wav x.sph |\n")
+    (d / "wav.scp").write_text("u1 sph2pipe -f wav -p -c 2 x.sph |\n")
     (d / "utt2spk").write_text("u1 s1\n")
+    ds = dataset_from_kaldi_dir(str(d))
+    u = next(iter(ds))
+    assert u.wav == "x.sph" and u.get_meta("channel") == "2"
+    (d / "wav.scp").write_text("u1 flac -c -d x.flac |\n")
     with pytest.raises(ValueError, match="pipeline"):
         dataset_from_kaldi_dir(str(d))
 

@@ -1,0 +1,401 @@
+"""Native SPHERE reader: header/PCM/companding exactness + shorten round-trip.
+
+The PCM / mu-law / A-law paths are pinned against independent
+pure-Python constructions (G.711 formulas + known anchor values).  The
+embedded-shorten decoder is validated by round-trip against the Python
+*encoder* below — an independently written mirror of the published
+bitstream spec (T. Robinson, TR.156).  Caveat (documented, honest): a
+round-trip pins self-consistency of our spec reading, not conformance
+with third-party encoders; no shorten implementation exists in this
+image to cross-check (no ffmpeg/sox/sph2pipe).  The corners most at
+risk (QLPC rounding offset, bitshift x nmean interplay) are exactly the
+ones real LDC files rarely use (default shorten settings are DIFF
+predictors, nmean=4, bitshift=0).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from sepi_tpu.utils.sphere import read_sph, sph_info
+
+# ---------------------------------------------------------------------------
+# SPHERE file construction
+
+
+def write_sph(path, payload: bytes, *, rate=8000, channels=1, samples=0,
+              n_bytes=2, byte_format="01", coding="pcm"):
+    fields = [
+        f"sample_rate -i {rate}",
+        f"channel_count -i {channels}",
+        f"sample_count -i {samples}",
+        f"sample_n_bytes -i {n_bytes}",
+        f"sample_byte_format -s{len(byte_format)} {byte_format}",
+        f"sample_coding -s{len(coding)} {coding}",
+        "end_head",
+    ]
+    head = "NIST_1A\n   1024\n" + "\n".join(fields) + "\n"
+    head = head.encode().ljust(1024, b" ")
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(payload)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (independent encoder implementations)
+
+
+def lin_to_ulaw(x: int) -> int:
+    bias, clip = 0x84, 32635
+    sign = 0x80 if x < 0 else 0
+    x = min(abs(x), clip) + bias
+    exp = x.bit_length() - 8  # MSB position above the 7-bit mantissa field
+    mant = (x >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def ulaw_to_lin_py(u: int) -> int:
+    u = ~u & 0xFF
+    sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+    lin = (((mant << 3) + 0x84) << exp) - 0x84
+    return -lin if sign else lin
+
+
+def lin_to_alaw(x: int) -> int:
+    sign = 0x80 if x >= 0 else 0  # G.711 A-law: sign bit SET = positive
+    ix = min(abs(x), 32767) >> 4
+    if ix > 15:
+        exp = ix.bit_length() - 5
+        mant = (ix >> exp) & 0x0F
+        byte = (exp + 1) << 4 | mant
+    else:
+        byte = ix
+    return (sign | byte) ^ 0x55
+
+
+def alaw_to_lin_py(a: int) -> int:
+    a ^= 0x55
+    sign, exp, mant = a & 0x80, (a >> 4) & 7, a & 0x0F
+    lin = (mant << 4) + 8
+    if exp > 0:
+        lin = (lin + 0x100) << (exp - 1)
+    return lin if sign else -lin
+
+
+# ---------------------------------------------------------------------------
+# clean-room shorten encoder (bitstream spec mirror, test-only)
+
+FN_DIFF = [0, 1, 2, 3]
+FN_QUIT, FN_BLOCKSIZE, FN_BITSHIFT, FN_QLPC, FN_ZERO, FN_VERBATIM = (
+    4, 5, 6, 7, 8, 9)
+ULONGSIZE, FNSIZE, ENERGYSIZE, BITSHIFTSIZE = 2, 2, 3, 2
+LPCQSIZE, LPCQUANT, XBYTESIZE = 2, 5, 7
+TYPE_U8, TYPE_S16HL, TYPE_S16LH, TYPE_ULAW, TYPE_ALAW = 2, 3, 5, 7, 10
+
+
+def c_div(a: int, b: int) -> int:
+    """C '/' semantics (truncate toward zero) — what the decoder uses."""
+    q = abs(a) // b
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put_uvar(self, val, k):
+        self.bits.extend([0] * (val >> k) + [1])
+        for i in range(k - 1, -1, -1):
+            self.bits.append((val >> i) & 1)
+
+    def put_ulong(self, val):
+        nbit = int(val).bit_length()
+        self.put_uvar(nbit, ULONGSIZE)
+        self.put_uvar(val, nbit)
+
+    def put_var(self, val, k):
+        u = (val << 1) if val >= 0 else (((-val - 1) << 1) | 1)
+        self.put_uvar(u, k + 1)
+
+    def tobytes(self):
+        bits = self.bits + [0] * (-len(self.bits) % 32)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            out.append(int("".join(map(str, bits[i : i + 8])), 2))
+        return bytes(out)
+
+
+def shorten_encode(chans, ftype, blocksize=256, nmean=4, version=2,
+                   cmd_for_block=None, maxnlpc=0, bitshift=0):
+    """Encode per-channel int arrays; mirrors the decoder's state math."""
+    nchan = len(chans)
+    n = len(chans[0])
+    w = BitWriter()
+    for v in (ftype, nchan, blocksize, maxnlpc, nmean, 0):  # nskip=0
+        w.put_ulong(v)
+    nwrap = max(maxnlpc, 3)
+    hist = [[0] * nwrap for _ in range(nchan)]
+    mean0 = {TYPE_U8: 0x80}.get(ftype, 0)
+    offs = [[mean0] * max(1, nmean) for _ in range(nchan)]
+    cur_bs = blocksize
+    if bitshift:
+        w.put_uvar(FN_BITSHIFT, FNSIZE)
+        w.put_uvar(bitshift, BITSHIFTSIZE)
+    pos = 0
+    blk = 0
+    while pos < n:
+        if pos + cur_bs > n:  # final short block
+            cur_bs = n - pos
+            w.put_uvar(FN_BLOCKSIZE, FNSIZE)
+            w.put_ulong(cur_bs)
+        for c in range(nchan):
+            x = [int(v) >> bitshift for v in chans[c][pos : pos + cur_bs]]
+            cmd = cmd_for_block(blk, c) if cmd_for_block else FN_DIFF[1]
+            if nmean == 0:
+                coffset = offs[c][0]
+            else:
+                sum_ = (0 if version < 2 else nmean // 2) + sum(offs[c])
+                coffset = c_div(sum_, nmean)
+                if version >= 2 and bitshift > 0:
+                    coffset = (coffset >> (bitshift - 1)) >> 1
+            h = hist[c]
+            ext = h + x  # ext[nwrap + i] == x[i]
+            w.put_uvar(cmd, FNSIZE)
+            if cmd == FN_ZERO:
+                assert all(v == 0 for v in x)
+            elif cmd == FN_QLPC:
+                nlpc = 2
+                qlpc = [20, -9]  # arbitrary fixed quantized coefs
+                resn = 6
+                w.put_uvar(resn, ENERGYSIZE)
+                w.put_uvar(nlpc, LPCQSIZE)
+                for q in qlpc:
+                    w.put_var(q, LPCQUANT)
+                work = [v - coffset for v in h[-nlpc:]] + [0] * len(x)
+                for i in range(len(x)):
+                    s = 0 if version < 2 else 1 << (LPCQUANT - 1)
+                    for j in range(nlpc):
+                        s += qlpc[j] * work[nlpc + i - j - 1]
+                    pred = s >> LPCQUANT
+                    res = (x[i] - coffset) - pred
+                    w.put_var(res, resn)
+                    work[nlpc + i] = (x[i] - coffset)
+            else:
+                d = cmd  # DIFF order
+                res = []
+                for i in range(len(x)):
+                    xi = ext[nwrap + i]
+                    p1 = ext[nwrap + i - 1]
+                    p2 = ext[nwrap + i - 2]
+                    p3 = ext[nwrap + i - 3]
+                    pred = [coffset, p1, 2 * p1 - p2,
+                            3 * (p1 - p2) + p3][d]
+                    res.append(xi - pred)
+                resn = max(1, max((abs(r).bit_length() for r in res),
+                                  default=1))
+                resn = min(resn, 30)
+                w.put_uvar(resn, ENERGYSIZE)
+                for r in res:
+                    w.put_var(r, resn)
+            if nmean > 0:
+                sum_ = (0 if version < 2 else cur_bs // 2) + sum(x)
+                m = c_div(sum_, cur_bs)
+                if version >= 2:
+                    m <<= bitshift
+                offs[c] = offs[c][1:] + [m]
+            hist[c] = ext[len(ext) - nwrap :]
+        pos += cur_bs
+        blk += 1
+    w.put_uvar(FN_QUIT, FNSIZE)
+    return b"ajkg" + bytes([version]) + w.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# tests: header + raw codings
+
+
+def test_pcm16_both_byte_orders(tmp_path, rng):
+    x = rng.integers(-30000, 30000, size=500).astype(np.int16)
+    for fmt, dt in [("01", "<i2"), ("10", ">i2")]:
+        p = str(tmp_path / f"pcm_{fmt}.sph")
+        write_sph(p, x.astype(dt).tobytes(), samples=len(x), byte_format=fmt)
+        got, rate = read_sph(p)
+        assert rate == 8000
+        np.testing.assert_array_equal(got.astype(np.int16), x)
+
+
+def test_info_and_channel_selection(tmp_path, rng):
+    a = rng.integers(-1000, 1000, size=300).astype(np.int16)
+    b = rng.integers(-1000, 1000, size=300).astype(np.int16)
+    inter = np.stack([a, b], axis=1).reshape(-1)
+    p = str(tmp_path / "st.sph")
+    write_sph(p, inter.astype("<i2").tobytes(), channels=2, samples=300,
+              rate=16000)
+    rate, ch, n, coding = sph_info(p)
+    assert (rate, ch, n) == (16000, 2, 300)
+    assert coding.startswith("pcm")
+    np.testing.assert_array_equal(read_sph(p, 1)[0].astype(np.int16), a)
+    np.testing.assert_array_equal(read_sph(p, 2)[0].astype(np.int16), b)
+    np.testing.assert_array_equal(read_sph(p, 0)[0].astype(np.int16), inter)
+
+
+def test_ulaw_known_anchors_and_all_bytes(tmp_path):
+    # anchors from the G.711 mu-law expansion table
+    assert ulaw_to_lin_py(0x00) == -32124
+    assert ulaw_to_lin_py(0x80) == 32124
+    assert ulaw_to_lin_py(0xFF) == 0
+    allb = bytes(range(256))
+    p = str(tmp_path / "u.sph")
+    write_sph(p, allb, samples=256, n_bytes=1, byte_format="1", coding="ulaw")
+    got = read_sph(p)[0].astype(np.int64)
+    ref = np.array([ulaw_to_lin_py(b) for b in allb])
+    np.testing.assert_array_equal(got, ref)
+    # encoder/decoder consistency: quantization is idempotent
+    for b in range(256):
+        v = ulaw_to_lin_py(b)
+        assert ulaw_to_lin_py(lin_to_ulaw(v)) == v
+
+
+def test_alaw_all_bytes(tmp_path):
+    # anchors from the G.711 A-law expansion table
+    assert alaw_to_lin_py(0xD5) == 8
+    assert alaw_to_lin_py(0x55) == -8
+    assert max(abs(alaw_to_lin_py(b)) for b in range(256)) == 32256
+    allb = bytes(range(256))
+    p = str(tmp_path / "a.sph")
+    write_sph(p, allb, samples=256, n_bytes=1, byte_format="1", coding="alaw")
+    got = read_sph(p)[0].astype(np.int64)
+    ref = np.array([alaw_to_lin_py(b) for b in allb])
+    np.testing.assert_array_equal(got, ref)
+    for b in range(256):
+        v = alaw_to_lin_py(b)
+        assert alaw_to_lin_py(lin_to_alaw(v)) == v
+
+
+def test_bad_files_raise(tmp_path):
+    p = str(tmp_path / "x.sph")
+    with open(p, "wb") as f:
+        f.write(b"RIFFnot a sphere header")
+    with pytest.raises(ValueError):
+        read_sph(p)
+    with pytest.raises(ValueError):
+        read_sph(str(tmp_path / "missing.sph"))
+
+
+# ---------------------------------------------------------------------------
+# tests: embedded shorten
+
+
+def _mk_speechish(n, rng, lo=-20000, hi=20000):
+    # smooth waveform so DIFF residuals are small but nonzero
+    t = np.arange(n)
+    x = (8000 * np.sin(t / 7.0) + 4000 * np.sin(t / 31.0)
+         + rng.normal(scale=300, size=n))
+    return np.clip(x, lo, hi).astype(np.int64)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("nmean", [0, 4])
+def test_shorten_pcm16_roundtrip(tmp_path, rng, version, nmean):
+    x = _mk_speechish(1000, rng)
+    payload = shorten_encode([x], TYPE_S16HL, blocksize=256, nmean=nmean,
+                             version=version)
+    p = str(tmp_path / "s.sph")
+    write_sph(p, payload, samples=len(x),
+              coding=f"pcm,embedded-shorten-v{version}.00")
+    got = read_sph(p)[0].astype(np.int64)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_shorten_two_channel_all_diff_orders(tmp_path, rng):
+    n = 900
+    a = _mk_speechish(n, rng)
+    b = _mk_speechish(n, rng)
+    payload = shorten_encode(
+        [a, b], TYPE_S16HL, blocksize=128, nmean=4,
+        cmd_for_block=lambda blk, c: FN_DIFF[(blk + c) % 4])
+    p = str(tmp_path / "s2.sph")
+    write_sph(p, payload, channels=2, samples=n,
+              coding="pcm,embedded-shorten-v2.00")
+    np.testing.assert_array_equal(read_sph(p, 1)[0].astype(np.int64), a)
+    np.testing.assert_array_equal(read_sph(p, 2)[0].astype(np.int64), b)
+
+
+def test_shorten_ulaw_bytes_roundtrip(tmp_path, rng):
+    # LDC convention: mu-law byte stream compressed as TYPE_U8; the
+    # sphere-level coding then expands to linear.
+    lin = _mk_speechish(700, rng)
+    ub = np.array([lin_to_ulaw(int(v)) for v in lin], np.int64)
+    payload = shorten_encode([ub], TYPE_U8, blocksize=256, nmean=4)
+    p = str(tmp_path / "su.sph")
+    write_sph(p, payload, samples=len(ub), n_bytes=1, byte_format="1",
+              coding="ulaw,embedded-shorten-v2.00")
+    got = read_sph(p)[0].astype(np.int64)
+    ref = np.array([ulaw_to_lin_py(int(b)) for b in ub])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_shorten_zero_blocks_and_qlpc(tmp_path, rng):
+    n = 512
+    x = np.concatenate([np.zeros(256, np.int64), _mk_speechish(256, rng)])
+
+    def cmds(blk, c):
+        return FN_ZERO if blk == 0 else FN_QLPC
+
+    payload = shorten_encode([x], TYPE_S16HL, blocksize=256, nmean=4,
+                             cmd_for_block=cmds, maxnlpc=2)
+    p = str(tmp_path / "sq.sph")
+    write_sph(p, payload, samples=n, coding="pcm,embedded-shorten-v2.00")
+    np.testing.assert_array_equal(read_sph(p)[0].astype(np.int64), x)
+
+
+def test_shorten_bitshift_and_short_tail(tmp_path, rng):
+    # all-even samples with a trailing partial block (FN_BLOCKSIZE path)
+    x = (_mk_speechish(777, rng) >> 1) << 1
+    payload = shorten_encode([x], TYPE_S16HL, blocksize=256, nmean=0,
+                             bitshift=1)
+    p = str(tmp_path / "sb.sph")
+    write_sph(p, payload, samples=len(x), coding="pcm,embedded-shorten-v2.00")
+    np.testing.assert_array_equal(read_sph(p)[0].astype(np.int64), x)
+
+
+# ---------------------------------------------------------------------------
+# integration: wav.scp sph2pipe pipelines + AudioStore
+
+
+def test_kaldi_dir_sph2pipe_pipeline(tmp_path, rng):
+    from sepi_tpu.data.audio import AudioStore
+    from sepi_tpu.data.corpora import dataset_from_kaldi_dir
+
+    a = rng.integers(-3000, 3000, size=400).astype(np.int16)
+    b = rng.integers(-3000, 3000, size=400).astype(np.int16)
+    inter = np.stack([a, b], axis=1).reshape(-1)
+    sph = str(tmp_path / "sw.sph")
+    write_sph(sph, inter.astype("<i2").tobytes(), channels=2, samples=400)
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "wav.scp").write_text(
+        f"utt_a sph2pipe -f wav -p -c 1 {sph} |\n"
+        f"utt_b /opt/kaldi/tools/sph2pipe_v2.5/sph2pipe -f wav -p -c 2 {sph} |\n"
+    )
+    (d / "utt2spk").write_text("utt_a spkA\nutt_b spkB\n")
+    ds = dataset_from_kaldi_dir(str(d))
+    by_id = {u.utt_id: u for u in ds}
+    assert by_id["utt_a"].wav == sph
+    assert by_id["utt_b"].get_meta("channel") == "2"
+    audio = AudioStore().load_dataset(ds)
+    np.testing.assert_array_equal(audio["utt_a"].astype(np.int16), a)
+    np.testing.assert_array_equal(audio["utt_b"].astype(np.int16), b)
+
+
+def test_kaldi_dir_other_pipeline_rejected(tmp_path):
+    from sepi_tpu.data.corpora import dataset_from_kaldi_dir
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "wav.scp").write_text("u1 flac -c -d x.flac |\n")
+    (d / "utt2spk").write_text("u1 s1\n")
+    with pytest.raises(ValueError, match="pipeline"):
+        dataset_from_kaldi_dir(str(d))
