@@ -54,7 +54,7 @@ def load_lexicon(path: str):
 def _load_corpus(data_dir: str, expected_rate: int):
     """Kaldi data dir -> (Dataset, {utt: samples}); applies segments."""
     from .data import dataset_from_kaldi_dir, extract_segments
-    from .data.audio import read_wav
+    from .data.audio import read_audio
 
     ds = dataset_from_kaldi_dir(data_dir)
     recs: Dict[str, np.ndarray] = {}
@@ -62,7 +62,10 @@ def _load_corpus(data_dir: str, expected_rate: int):
     for u in ds:
         key = u.recording or u.utt_id
         if key not in recs:
-            x, r = read_wav(u.wav)
+            # read_audio dispatches WAV vs NIST SPHERE (the wav.scp
+            # sph2pipe pipes dataset_from_kaldi_dir resolves natively);
+            # the channel meta carries 2-channel telephone sides.
+            x, r = read_audio(u.wav, channel=int(u.get_meta("channel", "1")))
             if r != expected_rate:
                 raise ValueError(
                     f"{u.wav}: sample rate {r} != configured {expected_rate}"

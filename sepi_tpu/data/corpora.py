@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Dict, Iterable, List, Mapping, Optional, Tuple
 
-from .audio import read_wav
+from .audio import read_audio
 from .manifest import Dataset, Utterance
 
 
@@ -32,7 +32,7 @@ def dataset_from_table(
             m = tuple(sorted(meta[utt_id].items()))
         num_samples = rate = None
         if probe_audio:
-            x, rate = read_wav(wav)
+            x, rate = read_audio(wav)
             num_samples = len(x)
         utts.append(
             Utterance(utt_id, spk_id, wav=wav, num_samples=num_samples,

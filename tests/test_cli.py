@@ -69,6 +69,30 @@ def test_cli_table_loaders(tmp_path):
     assert "sil" == lex.phones[0]
 
 
+def test_cli_loads_sphere_wav_scp(tmp_path):
+    """_load_corpus must resolve sph2pipe wav.scp pipelines natively,
+    honoring the 2-channel telephone-side selection (make_sre.pl form)."""
+    from test_sphere import write_sph
+
+    from sepi_tpu.cli import _load_corpus
+
+    n = 400
+    a = (np.arange(n) % 101 - 50).astype("<i2") * 100
+    b = -a
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2], inter[1::2] = a, b
+    sph = str(tmp_path / "rec.sph")
+    write_sph(sph, inter.tobytes(), channels=2, samples=n)
+    (tmp_path / "wav.scp").write_text(
+        f"utt_a sph2pipe -f wav -p -c 1 {sph} |\n"
+        f"utt_b sph2pipe -f wav -p -c 2 {sph} |\n")
+    (tmp_path / "utt2spk").write_text("utt_a spkA\nutt_b spkB\n")
+    ds, audio = _load_corpus(str(tmp_path), 8000)
+    assert len(ds) == 2
+    np.testing.assert_array_equal(audio["utt_a"], a.astype(np.float32))
+    np.testing.assert_array_equal(audio["utt_b"], b.astype(np.float32))
+
+
 def test_cli_rejects_wrong_sample_rate(cli_world):
     root, ddir, trials = cli_world
     with pytest.raises(ValueError, match="sample rate"):
