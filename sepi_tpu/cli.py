@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-buckets", type=int, default=8,
                    help="distinct static chunk lengths (XLA shape buckets)")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--steps-per-dispatch", type=int, default=8,
+                   help="train steps scanned per device dispatch (superstep; "
+                        "1 = dispatch every step)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="background batch-prefetch depth (0 disables)")
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--adapt-data", default=None,
                    help="unlabeled in-domain dir for PLDA adaptation (SRE16)")
@@ -118,6 +123,8 @@ def main(argv=None) -> int:
             frames_per_chunk_avg=(args.min_chunk + args.max_chunk) // 2,
         ),
         batch_size=args.batch_size,
+        steps_per_dispatch=args.steps_per_dispatch,
+        prefetch=args.prefetch,
     )
 
     train_ds, train_audio = _load_corpus(args.train_data, args.sample_rate)

@@ -188,6 +188,15 @@ class TrainConfig:
     steps_per_eval: int = 100
     checkpoint_every: int = 100
     keep_checkpoint_every: int = 10  # preserve-model-interval
+    # Train steps fused into one device dispatch (lax.scan superstep,
+    # train/trainer.py).  Same update sequence; amortizes per-dispatch
+    # host overhead.  Samplers emit constant-shape runs of this length
+    # (the reference's per-archive-constant-chunk-length structure).
+    # 1 = one dispatch per step.
+    steps_per_dispatch: int = 1
+    # Background-thread batch prefetch depth (ark,bg: analog,
+    # data/featstore.PrefetchLoader); 0 disables.
+    prefetch: int = 2
 
     replace = _replace
 

@@ -98,17 +98,42 @@ class PrefetchLoader:
     def __init__(self, it: Iterable, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(target=self._run, args=(iter(it),), daemon=True)
         self._thread.start()
 
     def _run(self, it: Iterator):
         try:
             for item in it:
-                self._q.put(item)
+                while not self._stop:
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:  # propagate to consumer
             self._err = e
         finally:
-            self._q.put(self._DONE)
+            if not self._stop:
+                self._q.put(self._DONE)
+
+    def close(self) -> None:
+        """Stop the producer thread (infinite samplers would otherwise
+        keep a blocked daemon thread alive per training run)."""
+        self._stop = True
+        try:  # unblock a producer waiting on a full queue
+            self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self

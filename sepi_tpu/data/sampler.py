@@ -78,9 +78,16 @@ class ChunkSampler:
         cfg: ChunkConfig = ChunkConfig(),
         batch_size: int = 64,
         seed: int = 123,
+        block_size: int = 1,
     ):
         self.cfg = cfg
         self.batch_size = batch_size
+        # Batches per constant-length run when iterating.  The reference
+        # holds chunk length constant per *archive* (hundreds of
+        # minibatches, get_egs_xvec.sh:9-14); block_size>1 restores that
+        # run structure so superstep dispatch can stack same-shape
+        # batches (train/trainer.py).
+        self.block_size = max(1, block_size)
         self.rng = np.random.default_rng(seed)
         self.label_map = dataset.speaker_label_map()
         self.num_speakers = len(self.label_map)
@@ -142,7 +149,9 @@ class ChunkSampler:
 
     def __iter__(self) -> Iterator[ChunkBatch]:
         while True:
-            yield self.sample_batch()
+            chunk_len = int(self.rng.choice(self.buckets))
+            for _ in range(self.block_size):
+                yield self.sample_batch(chunk_len)
 
     def diagnostic_batches(self, num_lengths: int = 3) -> List[ChunkBatch]:
         """Held-out style diagnostics at geometric lengths (SURVEY.md §4.2)."""
@@ -246,6 +255,7 @@ class MultitaskInterleaver:
         am_weight: float = 1.0,
         xvec_weight: float = 1.0,
         seed: int = 123,
+        block_size: int = 1,
     ):
         self.am_sampler = am_sampler
         self.xvec_sampler = xvec_sampler
@@ -254,16 +264,30 @@ class MultitaskInterleaver:
         self.am_weight = am_weight
         self.xvec_weight = xvec_weight
         self.rng = np.random.default_rng(seed)
+        # Stream selection granularity: with block_size=K the
+        # proportional-to-remaining draw picks a stream once per K
+        # batches (capped by that stream's remaining budget), emitting a
+        # same-task same-shape run superstep dispatch can stack.  The
+        # reference itself coarsens interleaving downstream of the copy
+        # stage (nnet3-merge-egs groups same-size egs into single-task
+        # minibatches), so expected am:xvec ratios and exhaust-together
+        # accounting are unchanged.
+        self.block_size = max(1, block_size)
 
     def __iter__(self):
         rem_am, rem_xvec = self.num_am, self.num_xvec
         while rem_am > 0 or rem_xvec > 0:
             p_am = rem_am / (rem_am + rem_xvec)
             if self.rng.random() < p_am:
-                rem_am -= 1
-                b = self.am_sampler.sample_batch()
-                yield b, self.am_weight
+                k = min(self.block_size, rem_am)
+                rem_am -= k
+                for _ in range(k):
+                    yield self.am_sampler.sample_batch(), self.am_weight
             else:
-                rem_xvec -= 1
-                b = self.xvec_sampler.sample_batch()
-                yield b, self.xvec_weight
+                k = min(self.block_size, rem_xvec)
+                rem_xvec -= k
+                chunk_len = int(
+                    self.xvec_sampler.rng.choice(self.xvec_sampler.buckets)
+                )
+                for _ in range(k):
+                    yield self.xvec_sampler.sample_batch(chunk_len), self.xvec_weight

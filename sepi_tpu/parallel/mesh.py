@@ -51,6 +51,12 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def superbatch_sharded(mesh: Mesh) -> NamedSharding:
+    """Stacked-step batches (K, B, ...): scan axis replicated, batch
+    axis sharded over 'data' (the superstep layout)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def host_shard_dataset(dataset, host_index: Optional[int] = None, host_count: Optional[int] = None):
     """Shard a manifest across hosts (split_data.sh over DCN analog)."""
     if host_index is None:

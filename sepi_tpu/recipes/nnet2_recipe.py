@@ -124,8 +124,19 @@ def train_nnet2_am(
     probe = sampler.sample_batch()
     state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)
     step = make_am_step(model, tx, mesh=mesh)
-    trainer = Trainer(steps={"am": step}, state=state, log_every=50, logger=log)
-    state = trainer.run(iter(sampler), num_steps=num_steps)
+    from .pipeline import batch_iterator, make_task_supersteps
+
+    trainer = Trainer(
+        steps={"am": step}, state=state, log_every=50, logger=log,
+        supersteps=make_task_supersteps(model, tx, {"am": {}}, train_cfg, mesh),
+        steps_per_dispatch=train_cfg.steps_per_dispatch,
+    )
+    it = batch_iterator(sampler, train_cfg)
+    try:
+        state = trainer.run(it, num_steps=num_steps)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
     return model, state
 
 

@@ -75,46 +75,59 @@ def pseudo_senone_alignments(
 
 def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
            model_kwargs=None, log=None, valid_batches=None, eval_steps=None,
-           checkpoint_dir=None, train_cfg=None):
+           checkpoint_dir=None, train_cfg=None, supersteps=None, mesh=None):
     """Shared trainer loop.  With ``checkpoint_dir``, periodic checkpoints
     are written, training resumes from the latest one (--train-stage
     semantics), and the final model is the best checkpoint-tail
     combination scored on the held-out objectives summed across tasks —
     `combine_cvector_models` / nnet3-combine parity for the multitask
-    trainers (`frame_level_objf/common.py:970-1055`)."""
+    trainers (`frame_level_objf/common.py:970-1055`).
+
+    When ``train_cfg`` is given, its prefetch depth (ark,bg: analog) and
+    steps_per_dispatch (superstep scan) apply."""
+    spd = train_cfg.steps_per_dispatch if train_cfg is not None else 1
     trainer = Trainer(
         steps=steps, state=state, log_every=50, logger=log,
         valid_batches=valid_batches, eval_steps=eval_steps, eval_every=100,
+        supersteps=supersteps, steps_per_dispatch=spd, mesh=mesh,
     )
-    if checkpoint_dir and train_cfg is not None:
-        from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
-        from ..train.checkpoint import latest_checkpoint
+    it = iter(batch_iter)
+    if train_cfg is not None and train_cfg.prefetch > 0:
+        from ..data.featstore import PrefetchLoader
 
-        done = latest_checkpoint(checkpoint_dir) or 0
-        if done:
-            trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
-        remaining = num_steps - done
-        it = iter(batch_iter)
-        while remaining > 0:
-            run_for = min(train_cfg.checkpoint_every, remaining)
-            state = trainer.run(it, num_steps=run_for)
-            remaining -= run_for
-            save_checkpoint(
-                state, checkpoint_dir, num_steps - remaining,
-                keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
-            )
-        if valid_batches and eval_steps:
-            def objf(s):
-                total = 0.0
-                for vb in valid_batches:
-                    ev = eval_steps.get(vb.task)
-                    if ev is not None:
-                        total += float(ev(s, vb.feats, vb.labels)["objf"])
-                return total
+        it = PrefetchLoader(it, depth=train_cfg.prefetch)
+    try:
+        if checkpoint_dir and train_cfg is not None:
+            from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
+            from ..train.checkpoint import latest_checkpoint
 
-            state, _ = combine_checkpoints(state, checkpoint_dir, objf)
-    else:
-        state = trainer.run(batch_iter, num_steps=num_steps)
+            done = latest_checkpoint(checkpoint_dir) or 0
+            if done:
+                trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
+            remaining = num_steps - done
+            while remaining > 0:
+                run_for = min(train_cfg.checkpoint_every, remaining)
+                state = trainer.run(it, num_steps=run_for)
+                remaining -= run_for
+                save_checkpoint(
+                    state, checkpoint_dir, num_steps - remaining,
+                    keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
+                )
+            if valid_batches and eval_steps:
+                def objf(s):
+                    total = 0.0
+                    for vb in valid_batches:
+                        ev = eval_steps.get(vb.task)
+                        if ev is not None:
+                            total += float(ev(s, vb.feats, vb.labels)["objf"])
+                    return total
+
+                state, _ = combine_checkpoints(state, checkpoint_dir, objf)
+        else:
+            state = trainer.run(it, num_steps=num_steps)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
     state = finalize_batch_stats(model, state, calib_feats, model_kwargs=model_kwargs)
     return state
 
@@ -143,8 +156,12 @@ def train_am_model(
     probe = sampler.sample_batch()
     state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)
     step = make_am_step(model, tx, mesh=mesh)
+    from .pipeline import make_task_supersteps
+
+    supersteps = make_task_supersteps(model, tx, {"am": {}}, train_cfg, mesh)
     state = _train(model, {"am": step}, state, iter(sampler), num_steps,
-                   [sampler.sample_batch().feats for _ in range(3)], log=log)
+                   [sampler.sample_batch().feats for _ in range(3)], log=log,
+                   train_cfg=train_cfg, supersteps=supersteps, mesh=mesh)
     return model, state
 
 
@@ -154,7 +171,8 @@ def _multitask_iter(features, alignments, dataset, cfg: TrainConfig,
         features, alignments, chunk_len=frames_per_eg,
         batch_size=cfg.am_batch_size, seed=cfg.seed, context=am_context,
     )
-    xvec_sampler = ChunkSampler(features, dataset, cfg.chunks, cfg.batch_size, cfg.seed)
+    xvec_sampler = ChunkSampler(features, dataset, cfg.chunks, cfg.batch_size,
+                                cfg.seed, block_size=cfg.steps_per_dispatch)
     # Data-driven stream budget (get_egs_xvec.sh:126-143 semantics): the
     # am stream holds frames/frames_per_eg examples, the xvec stream
     # repeats_per_spk x speakers; both scale to the step budget and the
@@ -177,6 +195,7 @@ def _multitask_iter(features, alignments, dataset, cfg: TrainConfig,
         num_am_batches=num_am + 1,
         num_xvec_batches=num_steps - num_am + 1,
         am_weight=cfg.am_weight, xvec_weight=cfg.xvec_weight, seed=cfg.seed,
+        block_size=cfg.steps_per_dispatch,
     )
     return am_sampler, xvec_sampler, interleaver
 
@@ -208,6 +227,11 @@ def train_multitask_model(
         "am": make_am_step(model, tx, task_kwargs={"task": "am"}, mesh=mesh),
         "xvec": make_xvec_step(model, tx, task_kwargs={"task": "xvec"}, mesh=mesh),
     }
+    from .pipeline import make_task_supersteps
+
+    supersteps = make_task_supersteps(
+        model, tx, {"am": {"task": "am"}, "xvec": {"task": "xvec"}}, train_cfg, mesh
+    )
     calib = [xvec_sampler.sample_batch(b).feats for b in xvec_sampler.buckets[:3]]
     # per-task held-out-style diagnostics (compute_cvector_train_cv_probabilities)
     from ..train.trainer import make_eval_step
@@ -220,7 +244,8 @@ def train_multitask_model(
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
                    model_kwargs={"task": "both"}, log=log,
                    valid_batches=valid_batches, eval_steps=eval_steps,
-                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg)
+                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg,
+                   supersteps=supersteps, mesh=mesh)
     return model, state
 
 
@@ -238,7 +263,9 @@ def train_adapted_model(
 ):
     """v4: graft the pretrained AM, scale its LR, train on speaker chunks."""
     model = AdaptedXVector(model_cfg, dtype=train_cfg.compute_dtype)
-    sampler = ChunkSampler(features, dataset, train_cfg.chunks, train_cfg.batch_size, train_cfg.seed)
+    sampler = ChunkSampler(features, dataset, train_cfg.chunks,
+                           train_cfg.batch_size, train_cfg.seed,
+                           block_size=train_cfg.steps_per_dispatch)
     tx, _ = build_optimizer(
         train_cfg.optimizer, num_steps, lr_factors={"am": am_lr_factor}
     )
@@ -251,8 +278,12 @@ def train_adapted_model(
     )
     state = state.replace(params=grafted["params"], batch_stats=grafted["batch_stats"])
     step = make_xvec_step(model, tx, mesh=mesh)
+    from .pipeline import make_task_supersteps
+
+    supersteps = make_task_supersteps(model, tx, {"xvec": {}}, train_cfg, mesh)
     calib = [sampler.sample_batch(b).feats for b in sampler.buckets[:3]]
-    state = _train(model, {"xvec": step}, state, iter(sampler), num_steps, calib, log=log)
+    state = _train(model, {"xvec": step}, state, iter(sampler), num_steps, calib,
+                   log=log, train_cfg=train_cfg, supersteps=supersteps, mesh=mesh)
     return model, state
 
 
@@ -296,7 +327,11 @@ def train_combined_model(
         "xvec": make_xvec_step(model, tx, task_kwargs={"task": "xvec"}, mesh=mesh),
     }
     from ..train.trainer import make_eval_step
+    from .pipeline import make_task_supersteps
 
+    supersteps = make_task_supersteps(
+        model, tx, {"am": {"task": "am"}, "xvec": {"task": "xvec"}}, train_cfg, mesh
+    )
     valid_batches = [am_sampler.sample_batch(), xvec_sampler.sample_batch()]
     eval_steps = {
         "am": make_eval_step(model, task_kwargs={"task": "am"}),
@@ -306,5 +341,6 @@ def train_combined_model(
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
                    model_kwargs={"task": "both"}, log=log,
                    valid_batches=valid_batches, eval_steps=eval_steps,
-                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg)
+                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg,
+                   supersteps=supersteps, mesh=mesh)
     return model, state

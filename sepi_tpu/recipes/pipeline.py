@@ -50,6 +50,33 @@ from ..train import (
 from ..train.trainer import make_xvec_step
 
 
+def batch_iterator(sampler, train_cfg: TrainConfig):
+    """Training batch stream with background prefetch (the `ark,bg:`
+    analog): sampling overlaps device compute so the chip never waits on
+    the host.  Callers should close() the returned iterator (it owns a
+    producer thread) when training finishes."""
+    it = iter(sampler)
+    if train_cfg.prefetch > 0:
+        from ..data.featstore import PrefetchLoader
+
+        it = PrefetchLoader(it, depth=train_cfg.prefetch)
+    return it
+
+
+def make_task_supersteps(model, tx, tasks, train_cfg: TrainConfig, mesh=None):
+    """Per-task superstep dispatchers (train/trainer.make_superstep) when
+    steps_per_dispatch > 1; None otherwise.  ``tasks`` maps task name ->
+    task_kwargs for the model apply."""
+    if train_cfg.steps_per_dispatch <= 1:
+        return None
+    from ..train.trainer import make_superstep
+
+    return {
+        t: make_superstep(model, tx, task_kwargs=kw, mesh=mesh)
+        for t, kw in tasks.items()
+    }
+
+
 def prepare_features_nosil(
     audio: Mapping[str, np.ndarray],
     frontend: FrontendConfig = FrontendConfig(dither=0.0),
@@ -196,49 +223,58 @@ def train_xvector_model(
         train_cfg.chunks,
         train_cfg.batch_size,
         train_cfg.seed,
+        block_size=train_cfg.steps_per_dispatch,
     )
     sampler.label_map = label_map
     tx, _ = build_optimizer(train_cfg.optimizer, num_steps)
     probe = sampler.sample_batch(sampler.buckets[0])
     state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)
     step = make_xvec_step(model, tx, mesh=mesh)
+    supersteps = make_task_supersteps(model, tx, {"xvec": {}}, train_cfg, mesh)
     trainer = Trainer(
         steps={"xvec": step}, state=state, log_every=50, logger=log,
         valid_batches=valid_batches, eval_steps=eval_steps,
         eval_every=train_cfg.steps_per_eval,
+        supersteps=supersteps,
+        steps_per_dispatch=train_cfg.steps_per_dispatch,
+        mesh=mesh,
     )
 
-    if checkpoint_dir:
-        # resume (--train-stage analog): pick up from the latest checkpoint
-        from ..train.checkpoint import latest_checkpoint
+    it = batch_iterator(sampler, train_cfg)
+    try:
+        if checkpoint_dir:
+            # resume (--train-stage analog): pick up from the latest checkpoint
+            from ..train.checkpoint import latest_checkpoint
 
-        done = latest_checkpoint(checkpoint_dir) or 0
-        if done:
-            state = load_checkpoint(state, checkpoint_dir, done)
-            trainer.state = state
-        remaining = num_steps - done
-        it = iter(sampler)
-        while remaining > 0:
-            run_for = min(train_cfg.checkpoint_every, remaining)
-            state = trainer.run(it, num_steps=run_for)
-            remaining -= run_for
-            save_checkpoint(
-                state, checkpoint_dir, num_steps - remaining,
-                keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
-            )
-        if valid_batches and eval_steps:
-            ev = eval_steps["xvec"]
-
-            def objf(s):
-                return float(
-                    np.mean([
-                        float(ev(s, vb.feats, vb.labels)["objf"]) for vb in valid_batches
-                    ])
+            done = latest_checkpoint(checkpoint_dir) or 0
+            if done:
+                state = load_checkpoint(state, checkpoint_dir, done)
+                trainer.state = state
+            remaining = num_steps - done
+            while remaining > 0:
+                run_for = min(train_cfg.checkpoint_every, remaining)
+                state = trainer.run(it, num_steps=run_for)
+                remaining -= run_for
+                save_checkpoint(
+                    state, checkpoint_dir, num_steps - remaining,
+                    keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
                 )
+            if valid_batches and eval_steps:
+                ev = eval_steps["xvec"]
 
-            state, best = combine_checkpoints(state, checkpoint_dir, objf)
-    else:
-        state = trainer.run(iter(sampler), num_steps=num_steps)
+                def objf(s):
+                    return float(
+                        np.mean([
+                            float(ev(s, vb.feats, vb.labels)["objf"]) for vb in valid_batches
+                        ])
+                    )
+
+                state, best = combine_checkpoints(state, checkpoint_dir, objf)
+        else:
+            state = trainer.run(it, num_steps=num_steps)
+    finally:
+        if hasattr(it, "close"):
+            it.close()
 
     calib = [sampler.sample_batch(l).feats for l in sampler.buckets[:3]]
     state = finalize_batch_stats(model, state, calib)

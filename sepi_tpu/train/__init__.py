@@ -11,6 +11,7 @@ from .trainer import (
     am_train_step,
     xvec_eval_step,
     am_eval_step,
+    make_superstep,
     Trainer,
     finalize_batch_stats,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "am_train_step",
     "xvec_eval_step",
     "am_eval_step",
+    "make_superstep",
     "Trainer",
     "finalize_batch_stats",
     "save_checkpoint",

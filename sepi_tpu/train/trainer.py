@@ -94,31 +94,13 @@ def _jit_step(fn, mesh):
     )
 
 
-def make_xvec_step(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
-    """Speaker-chunk CE step.  Returns jitted (state, feats, labels, weight)."""
-    kw = dict(task_kwargs or {})
+def _ce_step_body(model, tx, kw):
+    """The (unjitted) CE train step shared by both tasks.
 
-    def step(state: TrainState, feats, labels, weight=1.0):
-        def loss_fn(params):
-            out, new_stats = _apply(model, params, state.batch_stats, feats, True, **kw)
-            xent = _softmax_xent(out["logits"], labels)
-            loss = weight * jnp.mean(xent)
-            acc = jnp.mean(jnp.argmax(out["logits"], -1) == labels)
-            return loss, (new_stats, -jnp.mean(xent), acc)
-
-        grads, (new_stats, objf, acc) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, new_stats, opt_state)
-        return new_state, {"objf": objf, "accuracy": acc, "grad_norm": optax.global_norm(grads)}
-
-    return _jit_step(step, mesh)
-
-
-def make_am_step(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
-    """Per-frame senone CE step; labels (B, L) aligned to the logits'
-    central frames (the sampler provides the model's context margin)."""
-    kw = dict(task_kwargs or {})
+    Speaker chunks carry (B,) labels against out["logits"]; AM frame
+    batches carry (B, L) labels against the per-frame logits (falling
+    back to out["am_logits"] for multitask graphs) — `_softmax_xent`
+    handles both ranks uniformly."""
 
     def step(state: TrainState, feats, labels, weight=1.0):
         def loss_fn(params):
@@ -135,7 +117,50 @@ def make_am_step(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
         new_state = TrainState(state.step + 1, params, new_stats, opt_state)
         return new_state, {"objf": objf, "accuracy": acc, "grad_norm": optax.global_norm(grads)}
 
-    return _jit_step(step, mesh)
+    return step
+
+
+def make_xvec_step(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
+    """Speaker-chunk CE step.  Returns jitted (state, feats, labels, weight)."""
+    return _jit_step(_ce_step_body(model, tx, dict(task_kwargs or {})), mesh)
+
+
+def make_am_step(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
+    """Per-frame senone CE step; labels (B, L) aligned to the logits'
+    central frames (the sampler provides the model's context margin)."""
+    return _jit_step(_ce_step_body(model, tx, dict(task_kwargs or {})), mesh)
+
+
+def make_superstep(model, tx, task_kwargs: Optional[Dict] = None, mesh=None):
+    """K train steps in ONE dispatch: `lax.scan` over stacked batches.
+
+    Takes (state, feats (K, B, ...), labels (K, B, ...), weights (K,))
+    and applies the CE step sequentially K times on device — bitwise the
+    same update sequence as K single dispatches, but host dispatch
+    overhead and H2D transfer are paid once per K steps.  Metrics come
+    back stacked (K,) per key.  The reference's per-archive-constant
+    chunk length (`get_egs_xvec.sh:9-14`) means same-shape runs of
+    hundreds of minibatches are its native structure, so stacking K of
+    them is semantics-preserving.
+    """
+    body = _ce_step_body(model, tx, dict(task_kwargs or {}))
+
+    def sstep(state: TrainState, feats, labels, weights):
+        return jax.lax.scan(
+            lambda s, xs: body(s, *xs), state, (feats, labels, weights)
+        )
+
+    if mesh is None:
+        return jax.jit(sstep, donate_argnums=(0,))
+    from ..parallel.mesh import replicated, superbatch_sharded
+
+    rep, sh = replicated(mesh), superbatch_sharded(mesh)
+    return jax.jit(
+        sstep,
+        donate_argnums=(0,),
+        in_shardings=(rep, sh, sh, rep),
+        out_shardings=(rep, rep),
+    )
 
 
 def make_eval_step(model, task_kwargs: Optional[Dict] = None, frame_level: bool = False):
@@ -246,6 +271,22 @@ class Trainer:
     valid_batches: Optional[list] = None  # list of ChunkBatch/FrameBatch
     eval_steps: Optional[Dict[str, Callable]] = None  # task -> eval step
     eval_every: int = 200
+    # Superstep dispatch: with steps_per_dispatch=K and a task entry in
+    # ``supersteps`` (make_superstep), runs of K consecutive same-shape
+    # same-task batches are stacked and scanned in one device dispatch
+    # (same update sequence; K× fewer dispatches).  Partial runs fall
+    # back to single steps, so any K and any batch stream are correct.
+    supersteps: Optional[Dict[str, Callable]] = None
+    steps_per_dispatch: int = 1
+    # Device input staging: the NEXT dispatch unit's arrays are
+    # device_put while the current unit executes, so every dispatch sees
+    # device-resident args and the async pipeline never stalls on an
+    # inline H2D copy (measured 27 -> 2 ms/step wall on a remote-tunnel
+    # chip; the same discipline holds on PCIe hosts).  0 disables.
+    device_prefetch: int = 1
+    # Mesh for input shardings when staging (batch axis over 'data');
+    # None stages to the default device.
+    mesh: Optional[Any] = None
 
     def _run_valid(self, n: int):
         if not self.valid_batches or not self.eval_steps:
@@ -259,33 +300,150 @@ class Trainer:
             if self.logger:
                 self.logger(n, f"valid:{vb.task}", m)
 
-    def run(self, batch_iter: Iterable, num_steps: Optional[int] = None) -> TrainState:
-        n = 0
+    def _record(self, n: int, task: str, metrics: Dict) -> None:
+        m = {k: float(v) for k, v in metrics.items()}
+        if not np.isfinite(m.get("objf", 0.0)):
+            raise RuntimeError(
+                f"training diverged: non-finite objective at step {n} "
+                f"(task {task}); last good metrics: "
+                f"{self.history[-1] if self.history else None}"
+            )
+        self.history.append((n, task, m))
+        if self.logger:
+            self.logger(n, task, m)
+
+    def _units(self, batch_iter: Iterable, num_steps: Optional[int]):
+        """Plan the batch stream into dispatch units:
+        ("super", task, feats (K,B,..), labels, weights (K,), K) or
+        ("single", task, feats, labels, weight, 1).
+
+        Exactly ``num_steps`` steps are planned and no further batches
+        are pulled from the iterator (so samplers with persistent state
+        lose nothing between segmented run() calls).  Runs of K
+        consecutive same-task same-shape batches become supersteps;
+        partial runs fall back to singles."""
+        K = self.steps_per_dispatch
+        use_super = K > 1 and self.supersteps
+        buf: list = []
+        buf_key = None
+        planned = 0
+
+        def emit_buf():
+            nonlocal buf
+            if not buf:
+                return
+            task = buf[0][0].task
+            if use_super and len(buf) == K and task in self.supersteps:
+                yield (
+                    "super", task,
+                    np.stack([b.feats for b, _ in buf]),
+                    np.stack([b.labels for b, _ in buf]),
+                    np.asarray([w for _, w in buf], np.float32),
+                    K,
+                )
+            else:
+                for b, w in buf:
+                    yield ("single", b.task, b.feats, b.labels,
+                           np.float32(w), 1)
+            buf = []
+
         for item in batch_iter:
             if isinstance(item, tuple):
                 batch, weight = item
             else:
                 batch, weight = item, 1.0
-            step_fn = self.steps[batch.task]
-            self.state, metrics = step_fn(
-                self.state, batch.feats, batch.labels,
-                jnp.asarray(weight, jnp.float32),
+            if not use_super or batch.task not in self.supersteps:
+                for u in emit_buf():
+                    planned += u[5]
+                    yield u
+                planned += 1
+                yield ("single", batch.task, batch.feats, batch.labels,
+                       np.float32(weight), 1)
+            else:
+                key = (batch.task, batch.feats.shape)
+                if buf and key != buf_key:
+                    for u in emit_buf():
+                        planned += u[5]
+                        yield u
+                buf_key = key
+                buf.append((batch, weight))
+                full = len(buf) == K
+                at_end = num_steps is not None and planned + len(buf) >= num_steps
+                if full or at_end:
+                    for u in emit_buf():
+                        planned += u[5]
+                        yield u
+            if num_steps is not None and planned >= num_steps:
+                return
+        yield from emit_buf()
+
+    def _stage(self, units):
+        """Device-stage units ``device_prefetch`` ahead: H2D of the next
+        unit's arrays overlaps the current unit's execution, so dispatch
+        args are always device-resident (an inline numpy->device copy at
+        dispatch time stalls the async pipeline for a full host round
+        trip per step)."""
+        import collections
+
+        import jax as _jax
+
+        depth = self.device_prefetch
+        if depth <= 0:
+            yield from units
+            return
+        if self.mesh is not None:
+            from ..parallel.mesh import (
+                batch_sharded,
+                replicated,
+                superbatch_sharded,
             )
-            n += 1
-            last = num_steps is not None and n >= num_steps
-            if n % self.log_every == 0 or last:
-                m = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(m.get("objf", 0.0)):
-                    raise RuntimeError(
-                        f"training diverged: non-finite objective at step {n} "
-                        f"(task {batch.task}); last good metrics: "
-                        f"{self.history[-1] if self.history else None}"
-                    )
-                self.history.append((n, batch.task, m))
-                if self.logger:
-                    self.logger(n, batch.task, m)
-            if n % self.eval_every == 0 or last:
+
+            rep = replicated(self.mesh)
+            sh1, sh2 = batch_sharded(self.mesh), superbatch_sharded(self.mesh)
+
+            def put(kind, f, l, w):
+                sh = sh2 if kind == "super" else sh1
+                return (_jax.device_put(f, sh), _jax.device_put(l, sh),
+                        _jax.device_put(w, rep))
+        else:
+            def put(kind, f, l, w):
+                return _jax.device_put((f, l, w))
+
+        q: collections.deque = collections.deque()
+        for kind, task, f, l, w, k in units:
+            q.append((kind, task, *put(kind, f, l, w), k))
+            if len(q) > depth:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
+    def run(self, batch_iter: Iterable, num_steps: Optional[int] = None) -> TrainState:
+        n = 0
+
+        def crossed(prev: int, cur: int, every: int) -> bool:
+            return prev // every != cur // every
+
+        for kind, task, feats, labels, weight, k in self._stage(
+            self._units(batch_iter, num_steps)
+        ):
+            if kind == "super":
+                self.state, metrics = self.supersteps[task](
+                    self.state, feats, labels, weight
+                )
+                prev, n = n, n + k
+                last = num_steps is not None and n >= num_steps
+                if crossed(prev, n, self.log_every) or last:
+                    self._record(n, task, {m: v[-1] for m, v in metrics.items()})
+            else:
+                self.state, metrics = self.steps[task](
+                    self.state, feats, labels, weight
+                )
+                prev, n = n, n + 1
+                last = num_steps is not None and n >= num_steps
+                if n % self.log_every == 0 or last:
+                    self._record(n, task, metrics)
+            if crossed(prev, n, self.eval_every) or last:
                 self._run_valid(n)
-            if last:
+            if num_steps is not None and n >= num_steps:
                 break
         return self.state

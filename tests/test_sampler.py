@@ -102,3 +102,78 @@ def test_multitask_ratio_balances_by_default(rng):
     )
     _, _, inter = _multitask_iter(feats, ali, ds, cfg, (2, 2), 100)
     assert abs(inter.num_am - inter.num_xvec) <= 1
+
+
+def test_chunk_sampler_block_runs(rng):
+    """block_size=K: iteration emits runs of K batches sharing one chunk
+    length (the per-archive-constant-length structure superstep dispatch
+    stacks), and speaker balance is unaffected."""
+    ds, feats = _world(rng, num_spk=6, frames=200)
+    cfg = ChunkConfig(min_chunk_len=40, max_chunk_len=80, num_buckets=3)
+    sampler = ChunkSampler(feats, ds, cfg, batch_size=6, seed=3, block_size=4)
+    it = iter(sampler)
+    lens = [next(it).chunk_len for _ in range(24)]
+    for i in range(0, 24, 4):
+        assert len(set(lens[i : i + 4])) == 1
+    assert len(set(lens)) > 1  # different blocks do draw different buckets
+
+
+def test_interleaver_blocks_preserve_accounting(rng):
+    """block_size>1 keeps exhaust-together totals and emits same-task
+    same-shape runs; expected stream ratio is unchanged."""
+    ds, feats = _world(rng, num_spk=4, utts=2, frames=300)
+    ali = {u: rng.integers(0, 8, size=f.shape[0]).astype(np.int32)
+           for u, f in feats.items()}
+    cfg = ChunkConfig(min_chunk_len=40, max_chunk_len=60, num_buckets=2)
+    am = FrameSampler(feats, ali, chunk_len=8, batch_size=16, seed=1, context=(2, 2))
+    xv = ChunkSampler(feats, ds, cfg, batch_size=8, seed=1)
+    inter = MultitaskInterleaver(am, xv, num_am_batches=37, num_xvec_batches=23,
+                                 am_weight=2.0, xvec_weight=0.5, seed=9,
+                                 block_size=4)
+    rows = [(b.task, b.feats.shape, w) for b, w in inter]
+    tasks = [t for t, _, _ in rows]
+    assert tasks.count("am") == 37 and tasks.count("xvec") == 23
+    # weights ride along per task
+    assert all(w == (2.0 if t == "am" else 0.5) for t, _, w in rows)
+    # runs are same-task AND same-shape (xvec blocks share a bucket)
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0] and j - i < 4:
+            assert rows[j][1] == rows[i][1]
+            j += 1
+        i = j
+
+
+def test_prefetch_loader_close_stops_producer(rng):
+    """PrefetchLoader over an infinite sampler: yields batches, close()
+    terminates the producer thread (no daemon leak per training run)."""
+    import time
+
+    from sepi_tpu.data.featstore import PrefetchLoader
+
+    ds, feats = _world(rng, num_spk=4, frames=120)
+    cfg = ChunkConfig(min_chunk_len=40, max_chunk_len=40, num_buckets=1)
+    sampler = ChunkSampler(feats, ds, cfg, batch_size=4, seed=7)
+    loader = PrefetchLoader(iter(sampler), depth=2)
+    got = [next(loader) for _ in range(5)]
+    assert all(g.feats.shape == (4, 40, 5) for g in got)
+    loader.close()
+    deadline = time.time() + 3.0
+    while loader._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.02)
+    assert not loader._thread.is_alive()
+
+
+def test_prefetch_loader_propagates_errors():
+    from sepi_tpu.data.featstore import PrefetchLoader
+
+    def bad():
+        yield 1
+        raise RuntimeError("producer boom")
+
+    loader = PrefetchLoader(bad(), depth=2)
+    assert next(loader) == 1
+    with pytest.raises(RuntimeError, match="producer boom"):
+        next(loader)
+        next(loader)

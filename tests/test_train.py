@@ -298,3 +298,111 @@ def test_mesh_extraction_rejects_indivisible_batch():
     with _pytest.raises(ValueError, match="divisible"):
         EmbeddingExtractor(model, variables,
                            ExtractConfig(batch_size=6), mesh=make_mesh(8))
+
+
+def test_superstep_matches_single_dispatch(rng):
+    """One K=4 superstep = 4 single dispatches: the scanned body is the
+    same program, so the first step is bitwise and the per-step objf
+    sequence tracks to compile-variation roundoff (a high-LR batch-norm
+    net amplifies ulp-level differences chaotically, so long-horizon
+    bitwise equality is not a meaningful target)."""
+    from sepi_tpu.train import make_superstep
+
+    model = XVector(CFG)
+    opt_cfg = OptimizerConfig(initial_lr=0.005, final_lr=0.005, proportional_shrink=0.0)
+    tx, _ = build_optimizer(opt_cfg, 60)
+    seq = [_separable_batch(rng, n=16) for _ in range(4)]
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0), seq[0][0][:2])
+    step = make_xvec_step(model, tx)
+    sstep = make_superstep(model, tx)
+
+    sa = jax.tree.map(lambda x: x.copy(), state0)
+    objs = []
+    for f, l in seq:
+        sa, m = step(sa, f, l, jnp.float32(1.0))
+        objs.append(float(m["objf"]))
+    sb, mb = sstep(
+        jax.tree.map(lambda x: x.copy(), state0),
+        np.stack([f for f, _ in seq]),
+        np.stack([l for _, l in seq]),
+        np.ones(4, np.float32),
+    )
+    assert int(sa.step) == int(sb.step) == 4
+    sup = np.asarray(mb["objf"])
+    assert float(sup[0]) == objs[0]  # first step: identical program state
+    np.testing.assert_allclose(sup, objs, rtol=2e-3, atol=2e-3)
+    a = sa.params["segment"]["tdnn6"]["affine"]["kernel"]
+    b = sb.params["segment"]["tdnn6"]["affine"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+def test_superstep_trainer_accounting(rng):
+    """Trainer with steps_per_dispatch=4 over 18 steps: 4 supersteps + 2
+    trailing singles, exact step count, logs at/after each log_every
+    boundary, and the model still learns."""
+    from sepi_tpu.train import make_superstep
+
+    model, tx, state0, step, feats, labels = _make_setup(rng)
+    batches = []
+    for _ in range(18):
+        f, l = _separable_batch(rng, n=16)
+        batches.append(ChunkBatch(f, l, f.shape[1], "xvec"))
+    sstep = make_superstep(model, tx)
+    tr = Trainer(steps={"xvec": step}, state=state0, log_every=6,
+                 supersteps={"xvec": sstep}, steps_per_dispatch=4)
+    tr.run(iter(batches), num_steps=18)
+    assert int(tr.state.step) == 18
+    # boundaries 6, 12, 18 are recorded at the first dispatch that crosses
+    assert [h[0] for h in tr.history] == [8, 12, 18]
+    assert all(np.isfinite(h[2]["objf"]) for h in tr.history)
+
+
+def test_superstep_flushes_on_shape_or_task_change(rng):
+    """Mixed-shape and mixed-task streams: buffered runs flush as
+    singles, total step count is exact."""
+    from sepi_tpu.train import make_superstep
+
+    model, tx, state0, step, feats, labels = _make_setup(rng)
+    seqs = []
+    for t in (30, 30, 30, 24, 24, 30, 30, 30, 30, 24):
+        f, l = _separable_batch(rng, n=16, t=t)
+        seqs.append(ChunkBatch(f, l, t, "xvec"))
+    sstep = make_superstep(model, tx)
+    tr = Trainer(steps={"xvec": step}, state=state0, log_every=5,
+                 supersteps={"xvec": sstep}, steps_per_dispatch=3)
+    tr.run(iter(seqs), num_steps=10)
+    assert int(tr.state.step) == 10
+
+
+def test_superstep_data_parallel_mesh(rng):
+    """Superstep scan under the 8-device mesh agrees with the
+    single-device superstep."""
+    from sepi_tpu.train import make_superstep
+
+    mesh = make_mesh()
+    model = XVector(CFG)
+    opt_cfg = OptimizerConfig(initial_lr=0.005, final_lr=0.005, proportional_shrink=0.0)
+    tx, _ = build_optimizer(opt_cfg, 60)
+    fs, ls, ws = [], [], []
+    for _ in range(4):
+        f, l = _separable_batch(rng, n=16)
+        fs.append(f); ls.append(l); ws.append(1.0)
+    feats = np.stack(fs); labels = np.stack(ls)
+    weights = np.asarray(ws, np.float32)
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0), fs[0][:2])
+    s_mesh = make_superstep(model, tx, mesh=mesh)
+    s_one = make_superstep(model, tx)
+    sa, ma = s_mesh(jax.tree.map(lambda x: x.copy(), state0), feats, labels, weights)
+    sb, mb = s_one(jax.tree.map(lambda x: x.copy(), state0), feats, labels, weights)
+    # sharded reductions reassociate f32 sums (see
+    # test_data_parallel_matches_single_device): tight at step 1, loose
+    # over the window as batch-norm dynamics amplify roundoff
+    assert float(np.asarray(ma["objf"])[0]) == pytest.approx(
+        float(np.asarray(mb["objf"])[0]), abs=5e-4
+    )
+    np.testing.assert_allclose(np.asarray(ma["objf"]), np.asarray(mb["objf"]),
+                               rtol=2e-2, atol=5e-3)
+    a = sa.params["segment"]["tdnn6"]["affine"]["kernel"]
+    b = sb.params["segment"]["tdnn6"]["affine"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+    assert int(sa.step) == 4
