@@ -34,6 +34,32 @@ def _row_at(c: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(c, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
 
+def _cumsum_time(x: jnp.ndarray, blk: int = 256) -> jnp.ndarray:
+    """Inclusive cumsum along axis 1 of (B, T, D), MXU-shaped.
+
+    XLA lowers jnp.cumsum to a log2(T)-pass associative scan (~14 memory
+    passes at T=10000 — 1.9 ms at bench shapes).  A scan is also a
+    triangular matmul: per 256-frame block, `tril(ones) @ block` on the
+    MXU gives the intra-block prefix, and a tiny inter-block cumsum of
+    block totals supplies the offsets — two memory passes total
+    (1.2 ms measured, docs/BENCHMARKS.md).  HIGHEST precision keeps the
+    f32 accumulation exact-equivalent (~1e-7 relative, same as the scan).
+    """
+    b, t, d = x.shape
+    pad = (-t) % blk
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    nb = (t + pad) // blk
+    xb = xp.reshape(b, nb, blk, d)
+    tri = jnp.tril(jnp.ones((blk, blk), x.dtype))
+    intra = jnp.einsum(
+        "ij,bnjd->bnid", tri, xb, precision=jax.lax.Precision.HIGHEST
+    )
+    block_tot = xb.sum(axis=2)
+    offs = jnp.cumsum(block_tot, axis=1) - block_tot  # exclusive, (B, nb, D)
+    out = intra + offs[:, :, None, :]
+    return out.reshape(b, nb * blk, d)[:, :t]
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def sliding_cmvn(
     feats: jnp.ndarray,
@@ -93,7 +119,7 @@ def sliding_cmvn(
         hi_edge = start > (n[:, None] - win[:, None])
 
     csum = jnp.concatenate(
-        [jnp.zeros((b, 1, d), x.dtype), jnp.cumsum(x, axis=1)], axis=1
+        [jnp.zeros((b, 1, d), x.dtype), _cumsum_time(x)], axis=1
     )
     int_s, left_s, right_s = stats_for(csum)
     total = jnp.where(
@@ -106,7 +132,7 @@ def sliding_cmvn(
 
     if cfg.normalize_variance:
         csum2 = jnp.concatenate(
-            [jnp.zeros((b, 1, d), x.dtype), jnp.cumsum(x * x, axis=1)], axis=1
+            [jnp.zeros((b, 1, d), x.dtype), _cumsum_time(x * x)], axis=1
         )
         int_q, left_q, right_q = stats_for(csum2)
         total2 = jnp.where(
