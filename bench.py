@@ -89,7 +89,7 @@ def main():
     # models, synced via fori_loop + host transfer like the extraction.
     from sepi_tpu.config import OptimizerConfig
     from sepi_tpu.models import CombinedConfig, CombinedCVector
-    from sepi_tpu.train import build_optimizer, create_train_state
+    from sepi_tpu.train import build_optimizer, create_train_state, make_superstep
     from sepi_tpu.train.trainer import make_am_step, make_xvec_step
 
     def time_loop(fn, state, *args, iters=20):
@@ -123,6 +123,21 @@ def main():
     print(f"# v2 train: {dt_v2*1e3:.2f} ms/step "
           f"({v2_train_tput:.0f} audio-s/s)", file=sys.stderr)
 
+    # superstep dispatch (production input pipeline): K=16 steps scanned
+    # in one device call over stacked batches (train/trainer.py)
+    K = 16
+    sstep = make_superstep(train_model, tx)
+    feats_s = jnp.asarray(rng.normal(size=(K, tb, chunk_len, 23)).astype(np.float32))
+    labels_s = jnp.asarray(rng.integers(0, 5000, size=(K, tb)).astype(np.int32))
+    weights_s = jnp.ones((K,), jnp.float32)
+    dt_sup = time_loop(
+        lambda st, f, l, w: sstep(st, f, l, w)[0],
+        state_v2, feats_s, labels_s, weights_s, iters=4,
+    ) / K
+    sup_tput = tb * chunk_len * 0.01 / dt_sup
+    print(f"# v2 superstep K={K}: {dt_sup*1e3:.2f} ms/step "
+          f"({sup_tput:.0f} audio-s/s)", file=sys.stderr)
+
     v5_cfg = dataclasses.replace(CombinedConfig(), num_speakers=5000, num_senones=4000)
     v5 = CombinedCVector(v5_cfg, dtype="bfloat16")
     al, ar = v5_cfg.am_context
@@ -154,6 +169,8 @@ def main():
                 "extra": {
                     "v2_train_ms_per_step": round(dt_v2 * 1e3, 3),
                     "v2_train_audio_s_per_s": round(v2_train_tput, 1),
+                    "v2_superstep16_ms_per_step": round(dt_sup * 1e3, 3),
+                    "v2_superstep16_audio_s_per_s": round(sup_tput, 1),
                     "v5_multitask_ms_per_step_pair": round(dt_v5 * 1e3, 3),
                 },
             }
