@@ -105,6 +105,7 @@ def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
             if done:
                 trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
             remaining = num_steps - done
+            prev_params = jax.device_get(trainer.state.params) if log else None
             while remaining > 0:
                 run_for = min(train_cfg.checkpoint_every, remaining)
                 state = trainer.run(it, num_steps=run_for)
@@ -113,6 +114,14 @@ def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
                     state, checkpoint_dir, num_steps - remaining,
                     keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
                 )
+                if log:
+                    # nnet3-show-progress analog (compute_cvector_progress)
+                    from ..train.checkpoint import parameter_progress
+
+                    cur_params = jax.device_get(state.params)
+                    log(num_steps - remaining, "progress",
+                        parameter_progress(prev_params, cur_params))
+                    prev_params = cur_params
             if valid_batches and eval_steps:
                 def objf(s):
                     total = 0.0

@@ -251,6 +251,7 @@ def train_xvector_model(
                 state = load_checkpoint(state, checkpoint_dir, done)
                 trainer.state = state
             remaining = num_steps - done
+            prev_params = jax.device_get(trainer.state.params) if log else None
             while remaining > 0:
                 run_for = min(train_cfg.checkpoint_every, remaining)
                 state = trainer.run(it, num_steps=run_for)
@@ -259,6 +260,15 @@ def train_xvector_model(
                     state, checkpoint_dir, num_steps - remaining,
                     keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
                 )
+                if log:
+                    # nnet3-show-progress analog: per-component relative
+                    # parameter change over the segment
+                    from ..train.checkpoint import parameter_progress
+
+                    cur_params = jax.device_get(state.params)
+                    log(num_steps - remaining, "progress",
+                        parameter_progress(prev_params, cur_params))
+                    prev_params = cur_params
             if valid_batches and eval_steps:
                 ev = eval_steps["xvec"]
 

@@ -97,3 +97,31 @@ def combine_checkpoints(
         if objf > best_objf:
             best_state, best_objf = cand, objf
     return best_state, best_objf
+
+
+def parameter_progress(old_params, new_params) -> dict:
+    """nnet3-show-progress analog: per-component relative parameter
+    change between two param pytrees (host copies, e.g. from
+    `jax.device_get(state.params)` at checkpoint boundaries).
+
+    The reference logs `||new - old|| / ||old||` per component each
+    iteration (`compute_cvector_progress`,
+    `frame_level_objf/common.py:841-855`; parsed by
+    `report/log_parse.py:238`) as the learning-health diagnostic: a
+    layer whose relative change collapses early has stopped learning, a
+    layer whose change stays O(1) is thrashing.  Keys are the top-level
+    param subtrees (the component names of the flax module tree).
+    """
+    import numpy as np
+
+    out = {}
+    for k in old_params:
+        o = jax.tree.leaves(old_params[k])
+        n = jax.tree.leaves(new_params[k])
+        sq_o = sum(float(np.sum(np.square(np.asarray(a, np.float64)))) for a in o)
+        sq_d = sum(
+            float(np.sum(np.square(np.asarray(b, np.float64) - np.asarray(a, np.float64))))
+            for a, b in zip(o, n)
+        )
+        out[k] = float(np.sqrt(sq_d) / max(np.sqrt(sq_o), 1e-20))
+    return out

@@ -406,3 +406,44 @@ def test_superstep_data_parallel_mesh(rng):
     b = sb.params["segment"]["tdnn6"]["affine"]["kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
     assert int(sa.step) == 4
+
+
+def test_parameter_progress(rng):
+    """nnet3-show-progress analog: zero for identical params, per-
+    component relative change after training, and logged as 'progress'
+    rows at checkpoint boundaries."""
+    from sepi_tpu.train.checkpoint import parameter_progress
+
+    model, tx, state, step, feats, labels = _make_setup(rng)
+    p0 = jax.device_get(state.params)
+    same = parameter_progress(p0, p0)
+    assert set(same) == set(p0)
+    assert all(v == 0.0 for v in same.values())
+    for _ in range(5):
+        state, _ = step(state, feats, labels, jnp.float32(1.0))
+    prog = parameter_progress(p0, jax.device_get(state.params))
+    assert all(v > 0.0 for v in prog.values())
+    assert all(np.isfinite(v) for v in prog.values())
+
+
+def test_progress_logged_at_checkpoints(rng, tmp_path):
+    from sepi_tpu.data import make_synthetic_corpus
+    from sepi_tpu.recipes import prepare_features_nosil, train_xvector_model
+    from sepi_tpu.config import ChunkConfig, TrainConfig as TC
+    from sepi_tpu.models import XVectorConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+
+    corpus = make_synthetic_corpus(num_speakers=4, utts_per_speaker=3, duration_sec=2.0)
+    nosil = prepare_features_nosil(corpus.audio)
+    cfg = XVectorConfig(feat_dim=23, num_speakers=4,
+                        frame_specs=(TdnnSpec(8, (-2, -1, 0, 1, 2)), TdnnSpec(16, (0,))),
+                        embed_dim=8)
+    tc = TC(chunks=ChunkConfig(min_chunk_len=30, max_chunk_len=50, num_buckets=1),
+            batch_size=8, checkpoint_every=10)
+    rows = []
+    train_xvector_model(nosil, corpus.dataset, cfg, tc, num_steps=20,
+                        checkpoint_dir=str(tmp_path),
+                        log=lambda n, task, m: rows.append((n, task, m)))
+    prog = [(n, m) for n, task, m in rows if task == "progress"]
+    assert [n for n, _ in prog] == [10, 20]
+    assert all(v > 0 for _, m in prog for v in m.values())
