@@ -77,27 +77,68 @@ def make_task_supersteps(model, tx, tasks, train_cfg: TrainConfig, mesh=None):
     }
 
 
+def _frontend_batches(
+    audio: Mapping[str, np.ndarray],
+    fe: FeatureExtractor,
+    vad: VadConfig,
+    cmvn: CmvnConfig,
+    key: Optional[jax.Array],
+    batch_size: int,
+    pad_grid: int = 4000,
+):
+    """Run the MFCC->VAD->CMVN chain over length-bucketed padded batches.
+
+    Corpus feature prep as B utterances per device dispatch instead of
+    one (every op in the chain is batched + masked, so results are
+    identical to the per-utterance path; `tests/test_e2e.py` pins it).
+    Sorting by length keeps padding waste low; padding to a `pad_grid`
+    sample grid bounds the number of distinct compiled shapes.
+
+    Yields (utt_ids, feats (B,T,D), voiced (B,T), num_frames (B,)) as
+    host arrays.
+    """
+    items = sorted(audio.items(), key=lambda kv: (len(kv[1]), kv[0]))
+    for i in range(0, len(items), batch_size):
+        chunk = items[i : i + batch_size]
+        pad_len = -(-max(len(x) for _, x in chunk) // pad_grid) * pad_grid
+        samples = np.zeros((len(chunk), pad_len), np.float32)
+        lengths = np.zeros((len(chunk),), np.int32)
+        for b, (_, x) in enumerate(chunk):
+            samples[b, : len(x)] = x
+            lengths[b] = len(x)
+        feats, mask = fe.mfcc(samples, lengths, key=key)
+        voiced = energy_vad(feats[..., 0], mask, vad)
+        normed = sliding_cmvn(feats, mask, cmvn)
+        yield (
+            [u for u, _ in chunk],
+            np.asarray(normed),
+            np.asarray(voiced),
+            np.asarray(mask).astype(bool).sum(axis=-1),
+        )
+
+
 def prepare_features_nosil(
     audio: Mapping[str, np.ndarray],
     frontend: FrontendConfig = FrontendConfig(dither=0.0),
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     key: Optional[jax.Array] = None,
+    batch_size: int = 16,
 ) -> Dict[str, np.ndarray]:
-    """MFCC -> VAD -> sliding CMVN -> voiced-frame compaction, per utt.
+    """MFCC -> VAD -> sliding CMVN -> voiced-frame compaction, batched
+    over length-bucketed utterances.
 
     Returns utt_id -> (T_voiced, num_ceps) float32 — the `_nosil` features
     every neural recipe trains/extracts on."""
     fe = FeatureExtractor(frontend)
     out: Dict[str, np.ndarray] = {}
-    for utt_id, samples in audio.items():
-        feats, mask = fe.mfcc(samples, np.array(len(samples)), key=key)
-        voiced = energy_vad(feats[:, 0], mask, vad)
-        normed = sliding_cmvn(feats, mask, cmvn)
-        sel, sel_mask = select_voiced_frames(normed, voiced)
-        n = int(np.sum(np.asarray(sel_mask)))
-        if n:
-            out[utt_id] = np.asarray(sel)[:n]
+    for utt_ids, normed, voiced, _ in _frontend_batches(
+        audio, fe, vad, cmvn, key, batch_size
+    ):
+        for b, utt_id in enumerate(utt_ids):
+            v = voiced[b].astype(bool)
+            if v.any():
+                out[utt_id] = normed[b][v]
     return out
 
 
@@ -130,17 +171,17 @@ def prepare_features_phonetic(
     full: Dict[str, np.ndarray] = {}
     voiced_out: Dict[str, np.ndarray] = {}
     nosil: Dict[str, np.ndarray] = {}
-    for utt_id, samples in audio.items():
-        feats, mask = fe.mfcc(samples, np.array(len(samples)), key=key)
-        voiced = energy_vad(feats[:, 0], mask, vad)
-        normed = sliding_cmvn(feats, mask, cmvn)
-        n_frames = int(np.sum(np.asarray(mask)))
-        f = np.asarray(normed)[:n_frames]
-        v = np.asarray(voiced)[:n_frames].astype(bool)
-        full[utt_id] = f
-        voiced_out[utt_id] = v
-        if v.any():
-            nosil[utt_id] = f[v]
+    for utt_ids, normed, voiced, n_frames in _frontend_batches(
+        audio, fe, vad, cmvn, key, batch_size=16
+    ):
+        for b, utt_id in enumerate(utt_ids):
+            n = int(n_frames[b])
+            f = normed[b, :n]
+            v = voiced[b, :n].astype(bool)
+            full[utt_id] = f
+            voiced_out[utt_id] = v
+            if v.any():
+                nosil[utt_id] = f[v]
     return PhoneticFeatures(full, voiced_out, nosil)
 
 

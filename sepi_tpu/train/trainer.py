@@ -400,9 +400,17 @@ class Trainer:
 
             rep = replicated(self.mesh)
             sh1, sh2 = batch_sharded(self.mesh), superbatch_sharded(self.mesh)
+            multiproc = _jax.process_count() > 1
 
             def put(kind, f, l, w):
                 sh = sh2 if kind == "super" else sh1
+                if multiproc:
+                    # multi-host: each process holds its host shard of
+                    # the batch; assemble the global array over DCN
+                    # (parallel/multihost.assemble_global_batch contract)
+                    mk = _jax.make_array_from_process_local_data
+                    return (mk(sh, np.asarray(f)), mk(sh, np.asarray(l)),
+                            mk(rep, np.asarray(w)))
                 return (_jax.device_put(f, sh), _jax.device_put(l, sh),
                         _jax.device_put(w, rep))
         else:

@@ -94,6 +94,40 @@ np.testing.assert_allclose(
 for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(ref_state.params)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
+# --- Trainer: superstep dispatch + device staging across processes -------
+# Each process feeds its host shard of every batch; the Trainer's staging
+# assembles global arrays (make_array_from_process_local_data) and the
+# scanned superstep's gradient psum crosses the process boundary.
+from sepi_tpu.data.sampler import ChunkBatch
+from sepi_tpu.train import Trainer, make_superstep
+
+seq = [
+    (rng.normal(size=(8, 20, 8)).astype(np.float32),
+     (np.arange(8) % 4).astype(np.int32))
+    for _ in range(12)
+]
+state3 = create_train_state(model, tx, jax.random.PRNGKey(0), jnp.asarray(feats[:2]))
+tr = Trainer(
+    steps={"xvec": make_xvec_step(model, tx, mesh=mesh)},
+    state=state3, log_every=10**9,
+    supersteps={"xvec": make_superstep(model, tx, mesh=mesh)},
+    steps_per_dispatch=4, mesh=mesh,
+)
+sl = local_batch_slice(8)
+tr.run(iter([ChunkBatch(f[sl], l[sl], 20, "xvec") for f, l in seq]), num_steps=12)
+
+# reference: the same 12 steps as single-program supersteps on the
+# global batches
+state4 = create_train_state(model, tx, jax.random.PRNGKey(0), jnp.asarray(feats[:2]))
+sstep1 = make_superstep(model, tx)
+for i in range(0, 12, 4):
+    fs = np.stack([seq[j][0] for j in range(i, i + 4)])
+    ls = np.stack([seq[j][1] for j in range(i, i + 4)])
+    state4, _ = sstep1(state4, fs, ls, np.ones(4, np.float32))
+assert int(np.asarray(tr.state.step)) == 12
+for a, b in zip(jax.tree.leaves(tr.state.params), jax.tree.leaves(state4.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
 # --- host-level dataset sharding stays disjoint + exhaustive -------------
 from sepi_tpu.data.manifest import Dataset, Utterance
 

@@ -245,3 +245,37 @@ def test_edge_cases_tiny_audio():
     sampler = ChunkSampler({"ok": feats["ok"]}, ds, ChunkConfig(min_chunk_len=10_000, max_chunk_len=10_000, num_buckets=1), 4)
     with pytest.raises(ValueError, match="no speaker has an utterance"):
         sampler.sample_batch()
+
+
+def test_batched_feature_prep_matches_per_utterance(rng):
+    """prepare_features_nosil/phonetic batch utterances into padded
+    length buckets; results must equal the per-utterance chain exactly
+    (masked ops make padding inert)."""
+    import numpy as np
+
+    from sepi_tpu.config import CmvnConfig, FrontendConfig, VadConfig
+    from sepi_tpu.ops import FeatureExtractor, energy_vad, select_voiced_frames, sliding_cmvn
+    from sepi_tpu.recipes import prepare_features_nosil
+    from sepi_tpu.recipes.pipeline import prepare_features_phonetic
+
+    fcfg, vcfg, ccfg = FrontendConfig(dither=0.0), VadConfig(), CmvnConfig()
+    audio = {
+        f"u{i}": (rng.normal(size=(8000 + 1337 * i,)) * 3000).astype(np.float32)
+        for i in range(7)
+    }
+    batched = prepare_features_nosil(audio, fcfg, vcfg, ccfg, batch_size=3)
+    ph = prepare_features_phonetic(audio, fcfg, vcfg, ccfg)
+
+    fe = FeatureExtractor(fcfg)
+    for utt_id, samples in audio.items():
+        feats, mask = fe.mfcc(samples, np.array(len(samples)))
+        voiced = energy_vad(feats[:, 0], mask, vcfg)
+        normed = sliding_cmvn(feats, mask, ccfg)
+        sel, sel_mask = select_voiced_frames(normed, voiced)
+        n = int(np.sum(np.asarray(sel_mask)))
+        ref = np.asarray(sel)[:n]
+        np.testing.assert_array_equal(batched[utt_id], ref, err_msg=utt_id)
+        np.testing.assert_array_equal(ph.nosil[utt_id], ref, err_msg=utt_id)
+        nf = int(np.sum(np.asarray(mask)))
+        np.testing.assert_array_equal(ph.full[utt_id], np.asarray(normed)[:nf])
+        np.testing.assert_array_equal(ph.voiced[utt_id], np.asarray(voiced)[:nf])
