@@ -155,6 +155,15 @@ class OptimizerConfig:
     momentum: float = 0.5
     max_param_change: float = 2.0
     proportional_shrink: float = 10.0
+    # The reference applies the (1 - shrink*lr) factor once per outer
+    # ITERATION (an archive per job, ~50k minibatches at its scale;
+    # `train_cvector_dnn.py:285-296`), NOT per minibatch.  A typical run
+    # has ~this many iterations (num_epochs x archives / num_jobs), so
+    # the factor is spread as (1-shrink*lr)^(shrink_iterations/total_steps)
+    # per step — matching the reference's aggregate decay at any step
+    # budget.  Per-step application (the naive reading) decays weights
+    # faster than clipped updates can grow them and collapses training.
+    shrink_iterations: int = 120
     num_epochs: int = 3
     dropout_schedule: str = "0,0@0.20,0.1@0.50,0"
     shrink_guard: float = 0.5  # train_cvector_dnn.py:292-296

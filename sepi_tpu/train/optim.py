@@ -12,9 +12,10 @@ optax chain:
   multiplies the LR by num_jobs because its parallelism is model
   averaging (local SGD); with synchronous gradient psum the same factor
   appears as `num_jobs_multiplier` so global-batch/LR semantics match,
-- **proportional shrinkage**: params *= (1 - shrink·lr) each step
-  (`train_cvector_dnn.py:285-296`, guard shrink-factor > 0.5), a
-  BN-friendly weight decay variant,
+- **proportional shrinkage**: params *= (1 - shrink·lr) once per outer
+  iteration (`train_cvector_dnn.py:285-296`, guard shrink-factor > 0.5),
+  a BN-friendly weight decay variant, spread smoothly over per-minibatch
+  steps via OptimizerConfig.shrink_iterations (see proportional_shrink),
 - per-subtree LR factors for grafted AM parts
   (`nnet3-copy --edits=set-learning-rate-factor ... 0.2/0.1`,
   `train_xvector_with_am.sh:63-65`) via an update-scaling mask.
@@ -97,8 +98,17 @@ def clip_update_norm(max_change: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def proportional_shrink(shrink: float, schedule) -> optax.GradientTransformation:
-    """params *= (1 - shrink*lr): added to updates as -shrink*lr*params.
+def proportional_shrink(
+    shrink: float, schedule, exponent: float = 1.0
+) -> optax.GradientTransformation:
+    """params *= (1 - shrink*lr)^exponent: added as a decay term.
+
+    The reference applies the (1 - shrink*lr) factor once per outer
+    iteration (`train_cvector_dnn.py:285-296`), where one iteration is
+    an archive of ~thousands of minibatches; ``exponent`` =
+    iterations/total_steps spreads the same aggregate decay over
+    per-minibatch steps (build_optimizer computes it from
+    OptimizerConfig.shrink_iterations).
 
     Skips batch-norm scale parameters like Kaldi (shrinkage targets
     affine weights; shrinking BN scales fights the running stats).
@@ -112,7 +122,7 @@ def proportional_shrink(shrink: float, schedule) -> optax.GradientTransformation
         if params is None:
             raise ValueError("proportional_shrink requires params")
         lr = schedule(state.count)
-        factor = shrink * lr
+        factor = 1.0 - (1.0 - shrink * lr) ** exponent
 
         def add_decay(path, u, p):
             is_bn = any(getattr(k, "key", None) == "batchnorm" for k in path)
@@ -182,7 +192,10 @@ def build_optimizer(
     if lr_factors:
         chain.append(subtree_lr_factors(None, lr_factors))
     if cfg.proportional_shrink > 0:
-        chain.append(proportional_shrink(cfg.proportional_shrink, sched))
+        exponent = min(1.0, cfg.shrink_iterations / max(total_steps, 1))
+        chain.append(
+            proportional_shrink(cfg.proportional_shrink, sched, exponent)
+        )
     return optax.chain(*chain), sched
 
 

@@ -447,3 +447,25 @@ def test_progress_logged_at_checkpoints(rng, tmp_path):
     prog = [(n, m) for n, task, m in rows if task == "progress"]
     assert [n for n, _ in prog] == [10, 20]
     assert all(v > 0 for _, m in prog for v in m.values())
+
+
+def test_shrink_iteration_cadence():
+    """Shrink decays by (1-shrink*lr) per reference ITERATION, spread
+    over steps: with zero gradients, total decay over total_steps equals
+    the per-iteration product, not a per-minibatch product (which
+    collapses weights at scale — observed as exactly-uniform logits
+    after ~1k steps on a 200-speaker corpus)."""
+    cfg = OptimizerConfig(initial_lr=0.01, final_lr=0.01, momentum=0.0,
+                          proportional_shrink=10.0, shrink_iterations=5)
+    T = 50
+    tx, _ = build_optimizer(cfg, T)
+    params = {"w": jnp.ones((4,)), "batchnorm": {"scale": jnp.ones((4,))}}
+    st = tx.init(params)
+    zero = jax.tree.map(jnp.zeros_like, params)
+    for _ in range(T):
+        upd, st = tx.update(zero, st, params)
+        params = optax.apply_updates(params, upd)
+    expect = (1 - 10 * 0.01) ** 5
+    np.testing.assert_allclose(np.asarray(params["w"]), expect, rtol=1e-5)
+    # batch-norm scales are exempt from shrinkage (Kaldi semantics)
+    np.testing.assert_allclose(np.asarray(params["batchnorm"]["scale"]), 1.0)
