@@ -121,13 +121,20 @@ class PrefetchLoader:
 
     def close(self) -> None:
         """Stop the producer thread (infinite samplers would otherwise
-        keep a blocked daemon thread alive per training run)."""
+        keep a blocked daemon thread alive per training run).
+
+        Joins until the producer actually exits: callers reuse the
+        wrapped sampler right after close() (e.g. calibration draws),
+        and the samplers' RNG/rotation state is not thread-safe, so
+        returning with the thread alive would race.  The producer
+        observes ``_stop`` at its next put attempt (0.2 s poll), so the
+        wait is bounded by one iterator step."""
         self._stop = True
         try:  # unblock a producer waiting on a full queue
             self._q.get_nowait()
         except queue.Empty:
             pass
-        self._thread.join(timeout=2.0)
+        self._thread.join()
 
     def __enter__(self):
         return self

@@ -130,6 +130,7 @@ def train_nnet2_am(
         steps={"am": step}, state=state, log_every=50, logger=log,
         supersteps=make_task_supersteps(model, tx, {"am": {}}, train_cfg, mesh),
         steps_per_dispatch=train_cfg.steps_per_dispatch,
+        mesh=mesh,
     )
     it = batch_iterator(sampler, train_cfg)
     try:

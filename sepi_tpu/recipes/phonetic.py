@@ -85,45 +85,22 @@ def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
 
     When ``train_cfg`` is given, its prefetch depth (ark,bg: analog) and
     steps_per_dispatch (superstep scan) apply."""
+    from .pipeline import batch_iterator, run_checkpointed
+
     spd = train_cfg.steps_per_dispatch if train_cfg is not None else 1
     trainer = Trainer(
         steps=steps, state=state, log_every=50, logger=log,
         valid_batches=valid_batches, eval_steps=eval_steps, eval_every=100,
         supersteps=supersteps, steps_per_dispatch=spd, mesh=mesh,
     )
-    it = iter(batch_iter)
-    if train_cfg is not None and train_cfg.prefetch > 0:
-        from ..data.featstore import PrefetchLoader
-
-        it = PrefetchLoader(it, depth=train_cfg.prefetch)
+    it = batch_iterator(batch_iter, train_cfg) if train_cfg is not None else iter(batch_iter)
     try:
         if checkpoint_dir and train_cfg is not None:
-            from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
-            from ..train.checkpoint import latest_checkpoint
-
-            done = latest_checkpoint(checkpoint_dir) or 0
-            if done:
-                trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
-            remaining = num_steps - done
-            prev_params = jax.device_get(trainer.state.params) if log else None
-            while remaining > 0:
-                run_for = min(train_cfg.checkpoint_every, remaining)
-                state = trainer.run(it, num_steps=run_for)
-                remaining -= run_for
-                save_checkpoint(
-                    state, checkpoint_dir, num_steps - remaining,
-                    keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
-                )
-                if log:
-                    # nnet3-show-progress analog (compute_cvector_progress)
-                    from ..train.checkpoint import parameter_progress
-
-                    cur_params = jax.device_get(state.params)
-                    log(num_steps - remaining, "progress",
-                        parameter_progress(prev_params, cur_params))
-                    prev_params = cur_params
+            combine_objf = None
             if valid_batches and eval_steps:
-                def objf(s):
+                # held-out objectives summed across tasks
+                # (combine_cvector_models semantics)
+                def combine_objf(s):
                     total = 0.0
                     for vb in valid_batches:
                         ev = eval_steps.get(vb.task)
@@ -131,7 +108,10 @@ def _train(model, steps: Dict, state, batch_iter, num_steps, calib_feats,
                             total += float(ev(s, vb.feats, vb.labels)["objf"])
                     return total
 
-                state, _ = combine_checkpoints(state, checkpoint_dir, objf)
+            state = run_checkpointed(
+                trainer, it, num_steps, train_cfg, checkpoint_dir,
+                log=log, combine_objf=combine_objf,
+            )
         else:
             state = trainer.run(it, num_steps=num_steps)
     finally:

@@ -63,6 +63,42 @@ def batch_iterator(sampler, train_cfg: TrainConfig):
     return it
 
 
+def run_checkpointed(trainer, it, num_steps: int, train_cfg: TrainConfig,
+                     checkpoint_dir: str, log=None, combine_objf=None):
+    """--train-stage semantics shared by every checkpointed trainer:
+    resume from the latest checkpoint, run in checkpoint_every segments,
+    save + log per-component parameter progress (nnet3-show-progress
+    analog) at each boundary, and optionally pick the best
+    checkpoint-tail combination (nnet3-combine) via ``combine_objf``."""
+    import jax as _jax
+
+    from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
+    from ..train.checkpoint import latest_checkpoint, parameter_progress
+
+    done = latest_checkpoint(checkpoint_dir) or 0
+    if done:
+        trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
+    remaining = num_steps - done
+    prev_params = _jax.device_get(trainer.state.params) if log else None
+    state = trainer.state
+    while remaining > 0:
+        run_for = min(train_cfg.checkpoint_every, remaining)
+        state = trainer.run(it, num_steps=run_for)
+        remaining -= run_for
+        save_checkpoint(
+            state, checkpoint_dir, num_steps - remaining,
+            keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
+        )
+        if log:
+            cur_params = _jax.device_get(state.params)
+            log(num_steps - remaining, "progress",
+                parameter_progress(prev_params, cur_params))
+            prev_params = cur_params
+    if combine_objf is not None:
+        state, _ = combine_checkpoints(state, checkpoint_dir, combine_objf)
+    return state
+
+
 def make_task_supersteps(model, tx, tasks, train_cfg: TrainConfig, mesh=None):
     """Per-task superstep dispatchers (train/trainer.make_superstep) when
     steps_per_dispatch > 1; None otherwise.  ``tasks`` maps task name ->
@@ -161,6 +197,7 @@ def prepare_features_phonetic(
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     key: Optional[jax.Array] = None,
+    batch_size: int = 16,
 ) -> PhoneticFeatures:
     """MFCC -> VAD -> sliding CMVN, keeping both the with-silence stream
     (aligner input) and the stripped stream (speaker-net input) plus the
@@ -172,7 +209,7 @@ def prepare_features_phonetic(
     voiced_out: Dict[str, np.ndarray] = {}
     nosil: Dict[str, np.ndarray] = {}
     for utt_ids, normed, voiced, n_frames in _frontend_batches(
-        audio, fe, vad, cmvn, key, batch_size=16
+        audio, fe, vad, cmvn, key, batch_size
     ):
         for b, utt_id in enumerate(utt_ids):
             n = int(n_frames[b])
@@ -232,7 +269,6 @@ def train_xvector_model(
     and the final model is the best checkpoint-tail combination scored on
     the held-out objective (nnet3-combine semantics).
     """
-    from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
     from ..train.trainer import make_eval_step
 
     feat_dim = next(iter(features.values())).shape[1]
@@ -284,43 +320,21 @@ def train_xvector_model(
     it = batch_iterator(sampler, train_cfg)
     try:
         if checkpoint_dir:
-            # resume (--train-stage analog): pick up from the latest checkpoint
-            from ..train.checkpoint import latest_checkpoint
-
-            done = latest_checkpoint(checkpoint_dir) or 0
-            if done:
-                state = load_checkpoint(state, checkpoint_dir, done)
-                trainer.state = state
-            remaining = num_steps - done
-            prev_params = jax.device_get(trainer.state.params) if log else None
-            while remaining > 0:
-                run_for = min(train_cfg.checkpoint_every, remaining)
-                state = trainer.run(it, num_steps=run_for)
-                remaining -= run_for
-                save_checkpoint(
-                    state, checkpoint_dir, num_steps - remaining,
-                    keep_every=train_cfg.keep_checkpoint_every * train_cfg.checkpoint_every,
-                )
-                if log:
-                    # nnet3-show-progress analog: per-component relative
-                    # parameter change over the segment
-                    from ..train.checkpoint import parameter_progress
-
-                    cur_params = jax.device_get(state.params)
-                    log(num_steps - remaining, "progress",
-                        parameter_progress(prev_params, cur_params))
-                    prev_params = cur_params
+            combine_objf = None
             if valid_batches and eval_steps:
                 ev = eval_steps["xvec"]
 
-                def objf(s):
+                def combine_objf(s):
                     return float(
                         np.mean([
                             float(ev(s, vb.feats, vb.labels)["objf"]) for vb in valid_batches
                         ])
                     )
 
-                state, best = combine_checkpoints(state, checkpoint_dir, objf)
+            state = run_checkpointed(
+                trainer, it, num_steps, train_cfg, checkpoint_dir,
+                log=log, combine_objf=combine_objf,
+            )
         else:
             state = trainer.run(it, num_steps=num_steps)
     finally:

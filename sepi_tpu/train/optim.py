@@ -192,6 +192,11 @@ def build_optimizer(
     if lr_factors:
         chain.append(subtree_lr_factors(None, lr_factors))
     if cfg.proportional_shrink > 0:
+        # reference guard (train_cvector_dnn.py:292-296): refuse configs
+        # whose per-iteration factor is unstable at the peak LR — with
+        # the fractional exponent, shrink*lr >= 1 would be NaN, so the
+        # guard is load-bearing, not just advisory.
+        check_shrink_guard(cfg, cfg.initial_lr * num_jobs_multiplier)
         exponent = min(1.0, cfg.shrink_iterations / max(total_steps, 1))
         chain.append(
             proportional_shrink(cfg.proportional_shrink, sched, exponent)

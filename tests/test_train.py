@@ -469,3 +469,20 @@ def test_shrink_iteration_cadence():
     np.testing.assert_allclose(np.asarray(params["w"]), expect, rtol=1e-5)
     # batch-norm scales are exempt from shrinkage (Kaldi semantics)
     np.testing.assert_allclose(np.asarray(params["batchnorm"]["scale"]), 1.0)
+
+
+def test_build_optimizer_rejects_unstable_shrink():
+    """The shrink guard is load-bearing at build time: with the
+    fractional-exponent decay, shrink*lr >= 1 would produce NaN updates
+    rather than the old (finite) over-decay, so unstable configs are
+    refused up front (train_cvector_dnn.py:292-296 semantics)."""
+    with pytest.raises(ValueError, match="shrink factor"):
+        build_optimizer(
+            OptimizerConfig(initial_lr=0.15, proportional_shrink=10.0), 100
+        )
+    # num_jobs multiplier counts toward the peak LR
+    with pytest.raises(ValueError, match="shrink factor"):
+        build_optimizer(
+            OptimizerConfig(initial_lr=0.02, proportional_shrink=10.0), 100,
+            num_jobs_multiplier=8.0,
+        )
