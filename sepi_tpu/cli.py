@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "1 = dispatch every step)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="background batch-prefetch depth (0 disables)")
+    p.add_argument("--preconditioner", choices=["none", "muon"], default="none",
+                   help="'muon' = orthogonalized-momentum preconditioning "
+                        "(the NG-SGD substitute; converges much faster at "
+                        "many-speaker scale, see docs/BENCHMARKS.md); "
+                        "'none' = reference momentum-SGD semantics")
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--adapt-data", default=None,
                    help="unlabeled in-domain dir for PLDA adaptation (SRE16)")
@@ -112,11 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from .config import AlignConfig, ChunkConfig, TrainConfig
+    from .config import AlignConfig, ChunkConfig, OptimizerConfig, TrainConfig
     from .data.manifest import load_trials
     from .recipes import drivers
 
     train_cfg = TrainConfig(
+        optimizer=OptimizerConfig(preconditioner=args.preconditioner),
         chunks=ChunkConfig(
             min_chunk_len=args.min_chunk, max_chunk_len=args.max_chunk,
             num_buckets=args.chunk_buckets,

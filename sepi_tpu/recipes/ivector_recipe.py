@@ -48,19 +48,25 @@ def prepare_features_ivector(
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     delta_order: int = 2,
+    batch_size: int = 16,
 ) -> Dict[str, np.ndarray]:
-    """MFCC(20) -> deltas -> sliding CMVN -> voiced selection: (T, 60)."""
+    """MFCC(20) -> deltas -> sliding CMVN -> voiced selection: (T, 60).
+
+    Batched over length-bucketed utterances like the nosil prep
+    (pipeline._frontend_batches); deltas run between VAD and CMVN via
+    the transform hook."""
+    from .pipeline import _frontend_batches
+
     fe = FeatureExtractor(frontend)
     out: Dict[str, np.ndarray] = {}
-    for utt_id, samples in audio.items():
-        feats, mask = fe.mfcc(samples, np.array(len(samples)))
-        voiced = energy_vad(feats[:, 0], mask, vad)
-        with_d = add_deltas(feats, mask, order=delta_order)
-        normed = sliding_cmvn(with_d, mask, cmvn)
-        sel, sel_mask = select_voiced_frames(normed, voiced)
-        n = int(np.sum(np.asarray(sel_mask)))
-        if n:
-            out[utt_id] = np.asarray(sel)[:n]
+    for utt_ids, normed, voiced, _ in _frontend_batches(
+        audio, fe, vad, cmvn, None, batch_size,
+        transform=lambda f, m: add_deltas(f, m, order=delta_order),
+    ):
+        for b, utt_id in enumerate(utt_ids):
+            v = voiced[b].astype(bool)
+            if v.any():
+                out[utt_id] = normed[b][v]
     return out
 
 

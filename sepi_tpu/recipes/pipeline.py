@@ -121,8 +121,11 @@ def _frontend_batches(
     key: Optional[jax.Array],
     batch_size: int,
     pad_grid: int = 4000,
+    transform=None,
 ):
-    """Run the MFCC->VAD->CMVN chain over length-bucketed padded batches.
+    """Run the MFCC->VAD->[transform]->CMVN chain over length-bucketed
+    padded batches.  ``transform(feats, mask)`` runs between VAD and
+    CMVN (e.g. add_deltas for the i-vector 20->60-dim stream).
 
     Corpus feature prep as B utterances per device dispatch instead of
     one (every op in the chain is batched + masked, so results are
@@ -144,6 +147,8 @@ def _frontend_batches(
             lengths[b] = len(x)
         feats, mask = fe.mfcc(samples, lengths, key=key)
         voiced = energy_vad(feats[..., 0], mask, vad)
+        if transform is not None:
+            feats = transform(feats, mask)
         normed = sliding_cmvn(feats, mask, cmvn)
         yield (
             [u for u, _ in chunk],

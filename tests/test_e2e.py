@@ -279,3 +279,20 @@ def test_batched_feature_prep_matches_per_utterance(rng):
         nf = int(np.sum(np.asarray(mask)))
         np.testing.assert_array_equal(ph.full[utt_id], np.asarray(normed)[:nf])
         np.testing.assert_array_equal(ph.voiced[utt_id], np.asarray(voiced)[:nf])
+
+    # the i-vector stream (20-dim + deltas via the transform hook)
+    from sepi_tpu.ops import add_deltas
+    from sepi_tpu.recipes.ivector_recipe import MFCC_SRE_IVECTOR, prepare_features_ivector
+
+    ivcfg = MFCC_SRE_IVECTOR.replace(dither=0.0)
+    iv_batched = prepare_features_ivector(audio, batch_size=3)
+    fe_iv = FeatureExtractor(ivcfg)
+    for utt_id, samples in audio.items():
+        feats, mask = fe_iv.mfcc(samples, np.array(len(samples)))
+        voiced = energy_vad(feats[:, 0], mask, vcfg)
+        with_d = add_deltas(feats, mask, order=2)
+        normed = sliding_cmvn(with_d, mask, ccfg)
+        sel, sel_mask = select_voiced_frames(normed, voiced)
+        n = int(np.sum(np.asarray(sel_mask)))
+        np.testing.assert_array_equal(iv_batched[utt_id], np.asarray(sel)[:n],
+                                      err_msg=utt_id)
