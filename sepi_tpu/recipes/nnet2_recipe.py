@@ -163,12 +163,20 @@ def nnet2_posteriors(
         return jax.nn.softmax(out["logits"], axis=-1)
 
     out: Dict[str, np.ndarray] = {}
-    # bucket padded lengths so a handful of programs cover the corpus
-    for utt, f in features.items():
-        t = f.shape[0]
-        padded = np.pad(f, ((l, r), (0, 0)), mode="edge")
-        t_pad = -(-padded.shape[0] // 64) * 64
-        full = np.pad(padded, ((0, t_pad - padded.shape[0]), (0, 0)), mode="edge")
-        post = np.asarray(forward(jnp.asarray(full[None])))[0]
-        out[utt] = post[:t].astype(np.float32)
+    # length-sorted groups + grid-padded lengths: a handful of compiled
+    # programs and B utterances per dispatch cover the corpus
+    items = sorted(features.items(), key=lambda kv: (kv[1].shape[0], kv[0]))
+    group_size = 8
+    for i in range(0, len(items), group_size):
+        group = items[i : i + group_size]
+        t_pad = -(-max(f.shape[0] + l + r for _, f in group) // 64) * 64
+        dim = group[0][1].shape[1]
+        x = np.zeros((len(group), t_pad, dim), np.float32)
+        for j, (_, f) in enumerate(group):
+            padded = np.pad(f, ((l, r), (0, 0)), mode="edge")
+            x[j, : padded.shape[0]] = padded
+            x[j, padded.shape[0]:] = padded[-1]  # edge-replicate the tail
+        post = np.asarray(forward(jnp.asarray(x)))
+        for j, (utt, f) in enumerate(group):
+            out[utt] = post[j, : f.shape[0]].astype(np.float32)
     return out
