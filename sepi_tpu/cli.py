@@ -21,6 +21,7 @@ metrics.jsonl) land in --workdir.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Dict, List
 
@@ -107,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--adapt-data", default=None,
                    help="unlabeled in-domain dir for PLDA adaptation (SRE16)")
+    p.add_argument("--musan-dir", default=None,
+                   help="MUSAN root (noise/ music/ speech/ wav subtrees) "
+                        "for v2 stage-2 augmentation")
+    p.add_argument("--rirs-dir", default=None,
+                   help="directory tree of RIR wavs (RIRS_NOISES analog)")
+    p.add_argument("--aug-subset", type=int, default=128000,
+                   help="augmented utterances kept before combining with "
+                        "clean (run_sre10.sh subsets 128k)")
     p.add_argument("--text", default=None, help="Kaldi transcripts (v3/v4/v5)")
     p.add_argument("--lexicon", default=None, help="pronunciation lexicon (v3/v4/v5)")
     p.add_argument("--num-leaves", type=int, default=4096)
@@ -144,6 +153,35 @@ def main(argv=None) -> int:
     # the extractor needs every trial-side utterance's audio available
     eval_audio = {**enroll_audio, **eval_audio}
 
+    aug_kw = {}
+    if args.musan_dir or args.rirs_dir:
+        from .data.audio import read_audio
+        from .recipes.drivers import AugmentOptions
+
+        def pool(root):
+            out = []
+            for dirpath, _, files in os.walk(root):
+                for f in sorted(files):
+                    if f.lower().endswith((".wav", ".sph")):
+                        x, r = read_audio(os.path.join(dirpath, f))
+                        if r != args.sample_rate:
+                            raise ValueError(
+                                f"{dirpath}/{f}: rate {r} != {args.sample_rate}"
+                            )
+                        out.append(x)
+            return out
+
+        noises = {}
+        if args.musan_dir:
+            for kind, sub in (("noise", "noise"), ("music", "music"),
+                              ("babble", "speech")):
+                d = os.path.join(args.musan_dir, sub)
+                if os.path.isdir(d):
+                    noises[kind] = pool(d)
+        rirs = pool(args.rirs_dir) if args.rirs_dir else ()
+        aug_kw = {"augments": AugmentOptions(
+            rirs=rirs, noises=noises, subset=args.aug_subset)}
+
     adapt_kw = {}
     if args.adapt_data:
         adapt_ds, adapt_audio = _load_corpus(args.adapt_data, args.sample_rate)
@@ -171,7 +209,7 @@ def main(argv=None) -> int:
     elif args.variant == "v2":
         res = drivers.run_v2(train_ds, train_audio, eval_ds, eval_audio, trials,
                              enroll, args.workdir, train_cfg=train_cfg,
-                             num_steps=args.num_steps, **adapt_kw)
+                             num_steps=args.num_steps, **adapt_kw, **aug_kw)
     elif args.variant == "v3":
         res = drivers.run_v3(train_ds, train_audio, eval_audio, trials, enroll,
                              args.workdir, train_cfg=train_cfg,

@@ -63,6 +63,50 @@ class RunResult:
         return self.conditions["pooled"]
 
 
+@dataclasses.dataclass
+class AugmentOptions:
+    """v2 stage-2 augmentation (`egs/sre/v2/run_sre10.sh:92-159`):
+    reverb/noise/music/babble copies of the training set, a random
+    subset of the copies, combined with the clean set.  ``rirs`` and
+    ``noises`` supply the RIRS_NOISES / MUSAN sample pools (callers load
+    the license-gated corpora; `data.augment.synthetic_rir` and any
+    noise arrays work for corpus-free runs)."""
+
+    rirs: Sequence[np.ndarray] = ()
+    noises: Mapping[str, Sequence[np.ndarray]] = dataclasses.field(default_factory=dict)
+    specs: Sequence = None  # default: data.augment.REFERENCE_AUGMENTS
+    subset: Optional[int] = None  # keep this many augmented utts (the 128k analog)
+    seed: int = 0
+
+
+def _apply_augmentation(
+    train_dataset: Dataset,
+    train_audio: Mapping[str, np.ndarray],
+    opts: AugmentOptions,
+) -> Tuple[Dataset, Dict[str, np.ndarray]]:
+    """Stage-2 semantics: augment -> subset -> combine with clean.
+    utt2uniq bookkeeping (aug copies carry their clean root) keeps
+    heldout splits and PLDA honest downstream."""
+    from ..data.augment import REFERENCE_AUGMENTS, augment_dataset
+
+    aug_ds, aug_audio = augment_dataset(
+        train_dataset, train_audio,
+        rirs=opts.rirs, noises=opts.noises,
+        specs=opts.specs or REFERENCE_AUGMENTS, seed=opts.seed,
+    )
+    if opts.subset is not None and opts.subset < len(aug_ds):
+        rng = np.random.default_rng(opts.seed)
+        keep = set(
+            np.asarray(aug_ds.utt_ids)[
+                rng.permutation(len(aug_ds))[: opts.subset]
+            ].tolist()
+        )
+        aug_ds = aug_ds.filter(lambda u: u.utt_id in keep, f"{aug_ds.name}_sub")
+        aug_audio = {u: aug_audio[u] for u in keep}
+    combined = train_dataset.combine(aug_ds)
+    return combined, {**train_audio, **aug_audio}
+
+
 def save_embeddings(utt_embeddings: Mapping[str, np.ndarray], workdir: str,
                     name: str = "xvector") -> None:
     """Persist embeddings as a Kaldi ark+scp pair (ivector-mean /
@@ -130,10 +174,18 @@ def run_v2(
     adapt_audio: Optional[Mapping[str, np.ndarray]] = None,
     condition_fn=None,
     mesh=None,
+    augments: Optional[AugmentOptions] = None,
 ) -> RunResult:
     cache = ArtifactCache(workdir)
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
 
+    if augments is not None:
+        # stage 2: reverb/noise/music/babble copies + subset + combine
+        # (`run_sre10.sh:92-159`); augmented rows carry utt2uniq roots so
+        # heldout splits keep clean/aug groups together
+        train_dataset, train_audio = _apply_augmentation(
+            train_dataset, train_audio, augments
+        )
     feats_train = cache.stage(
         "feats_train", [train_dataset.name, sorted(train_audio)],
         lambda: pipeline.prepare_features_nosil(train_audio), log=print,

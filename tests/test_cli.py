@@ -99,3 +99,37 @@ def test_cli_rejects_wrong_sample_rate(cli_world):
         main(["v2", "--train-data", ddir, "--enroll-data", ddir,
               "--trials", trials, "--workdir", str(root / "x"),
               "--sample-rate", "16000"])
+
+
+def test_cli_v2_with_augmentation_dirs(cli_world, tmp_path):
+    """--musan-dir/--rirs-dir load pools from wav trees and feed the
+    stage-2 augmentation path."""
+    import numpy as np
+
+    from sepi_tpu.data.augment import synthetic_rir
+
+    rng = np.random.default_rng(5)
+    musan = tmp_path / "musan"
+    for sub in ("noise", "music", "speech"):
+        (musan / sub).mkdir(parents=True)
+        for i in range(2):
+            write_wav(str(musan / sub / f"{sub}{i}.wav"),
+                      (rng.normal(size=(12000,)) * 900).astype(np.float32), 8000)
+    rirs = tmp_path / "rirs"
+    rirs.mkdir()
+    write_wav(str(rirs / "rir0.wav"), synthetic_rir(seed=2) * 20000.0, 8000)
+
+    root, ddir, trials = cli_world
+    wd = str(tmp_path / "exp_aug")
+    rc = main([
+        "v2", "--train-data", ddir, "--enroll-data", ddir,
+        "--trials", trials, "--workdir", wd, "--num-steps", "60",
+        "--min-chunk", "50", "--max-chunk", "100", "--chunk-buckets", "2",
+        "--batch-size", "16",
+        "--musan-dir", str(musan), "--rirs-dir", str(rirs),
+        "--aug-subset", "30",
+    ])
+    assert rc == 0
+    scp = open(f"{wd}/xvector.scp").read()
+    assert sum(1 for line in scp.splitlines()
+               if any(k in line for k in ("-reverb", "-noise", "-music", "-babble"))) == 30

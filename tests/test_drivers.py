@@ -158,3 +158,36 @@ def test_driver_persists_embeddings(tmp_path, corpus):
     assert set(table) == set(corpus.dataset.utt_ids)
     emb = read_matrix(*table[corpus.dataset.utt_ids[0]])
     assert emb.shape == (1, 32) and np.all(np.isfinite(emb))
+
+
+def test_run_v2_with_augmentation(tmp_path, corpus, rng):
+    """v2 stage-2 semantics (run_sre10.sh:92-159): augmented copies are
+    produced, subset, combined with the clean set, and trained on."""
+    from sepi_tpu.data.augment import synthetic_rir
+    from sepi_tpu.recipes.drivers import AugmentOptions
+
+    noise_pool = [(rng.normal(size=(16000,)) * 800).astype(np.float32)
+                  for _ in range(4)]
+    speech_pool = [(rng.normal(size=(12000,)) * 1500).astype(np.float32)
+                   for _ in range(8)]
+    opts = AugmentOptions(
+        rirs=[synthetic_rir(seed=3)],
+        noises={"noise": noise_pool, "music": noise_pool, "babble": speech_pool},
+        subset=40,
+    )
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    res = run_v2(
+        corpus.dataset, corpus.audio, corpus.dataset, {}, corpus.trials, enroll,
+        workdir=str(tmp_path),
+        model_cfg=XVectorConfig(feat_dim=23, num_speakers=6,
+                                frame_specs=TINY_SPECS, embed_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=100,
+        augments=opts,
+    )
+    assert res.pooled.eer < 0.25
+    # the embedding store covers clean + the subset of augmented copies
+    import os
+    scp = open(os.path.join(str(tmp_path), "xvector.scp")).read()
+    n_aug = sum(1 for line in scp.splitlines()
+                if any(k in line for k in ("-reverb", "-noise", "-music", "-babble")))
+    assert n_aug == 40
