@@ -164,6 +164,9 @@ class OptimizerConfig:
     # budget.  Per-step application (the naive reading) decays weights
     # faster than clipped updates can grow them and collapses training.
     shrink_iterations: int = 120
+    # nnet3-train --l2-regularize-factor analog (engine option; the
+    # shipped recipes leave it 0 and regularize via proportional shrink)
+    l2_regularize: float = 0.0
     num_epochs: int = 3
     dropout_schedule: str = "0,0@0.20,0.1@0.50,0"
     shrink_guard: float = 0.5  # train_cvector_dnn.py:292-296

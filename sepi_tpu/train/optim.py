@@ -187,6 +187,10 @@ def build_optimizer(
             optax.scale_by_schedule(lambda c: -sched(c)),
             clip_update_norm(cfg.max_param_change),
         ]
+        if cfg.l2_regularize > 0:
+            # nnet3-train --l2-regularize-factor: gradient += l2 * params
+            # before momentum/LR (L2 as part of the objective gradient)
+            chain.insert(0, optax.add_decayed_weights(cfg.l2_regularize))
     else:
         raise ValueError(f"unknown preconditioner {cfg.preconditioner!r}")
     if lr_factors:

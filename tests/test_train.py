@@ -486,3 +486,18 @@ def test_build_optimizer_rejects_unstable_shrink():
             OptimizerConfig(initial_lr=0.02, proportional_shrink=10.0), 100,
             num_jobs_multiplier=8.0,
         )
+
+
+def test_l2_regularize_decays_weights():
+    """nnet3-train --l2-regularize-factor analog: with zero gradients and
+    no shrink, params decay by lr*l2 per step through the momentum/LR
+    chain."""
+    cfg = OptimizerConfig(initial_lr=0.1, final_lr=0.1, momentum=0.0,
+                          proportional_shrink=0.0, l2_regularize=0.5,
+                          max_param_change=100.0)
+    tx, _ = build_optimizer(cfg, 10)
+    params = {"w": jnp.ones((3,))}
+    st = tx.init(params)
+    upd, st = tx.update({"w": jnp.zeros((3,))}, st, params)
+    params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), 1.0 - 0.1 * 0.5, rtol=1e-6)
