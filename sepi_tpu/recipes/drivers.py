@@ -363,7 +363,17 @@ def run_v3(
     transcripts=None,
     lexicon=None,
     align_cfg=None,
+    augments: Optional[AugmentOptions] = None,
 ) -> RunResult:
+    if augments is not None:
+        # augmented copies join the SPEAKER stream only: they carry no
+        # transcripts/alignments, so the AM frame sampler skips them
+        # while the chunk sampler trains on clean+augmented (the
+        # reference's split: ASR egs from the unaugmented corpus,
+        # xvec egs from the augmented one)
+        train_dataset, train_audio = _apply_augmentation(
+            train_dataset, train_audio, augments
+        )
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
         train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
         align_cfg, {u.utt_id: u.spk_id for u in train_dataset},
@@ -411,7 +421,17 @@ def run_v4(
     transcripts=None,
     lexicon=None,
     align_cfg=None,
+    augments: Optional[AugmentOptions] = None,
 ) -> RunResult:
+    if augments is not None:
+        # augmented copies join the SPEAKER stream only: they carry no
+        # transcripts/alignments, so the AM frame sampler skips them
+        # while the chunk sampler trains on clean+augmented (the
+        # reference's split: ASR egs from the unaugmented corpus,
+        # xvec egs from the augmented one)
+        train_dataset, train_audio = _apply_augmentation(
+            train_dataset, train_audio, augments
+        )
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
         train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
         align_cfg, {u.utt_id: u.spk_id for u in train_dataset},
@@ -463,7 +483,17 @@ def run_v5(
     transcripts=None,
     lexicon=None,
     align_cfg=None,
+    augments: Optional[AugmentOptions] = None,
 ) -> RunResult:
+    if augments is not None:
+        # augmented copies join the SPEAKER stream only: they carry no
+        # transcripts/alignments, so the AM frame sampler skips them
+        # while the chunk sampler trains on clean+augmented (the
+        # reference's split: ASR egs from the unaugmented corpus,
+        # xvec egs from the augmented one)
+        train_dataset, train_audio = _apply_augmentation(
+            train_dataset, train_audio, augments
+        )
     cache, feats_train, feats_eval, alignments, num_senones = _phonetic_common(
         train_audio, eval_audio, alignments, workdir, transcripts, lexicon,
         align_cfg, {u.utt_id: u.spk_id for u in train_dataset},

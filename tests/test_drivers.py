@@ -191,3 +191,30 @@ def test_run_v2_with_augmentation(tmp_path, corpus, rng):
     n_aug = sum(1 for line in scp.splitlines()
                 if any(k in line for k in ("-reverb", "-noise", "-music", "-babble")))
     assert n_aug == 40
+
+
+def test_run_v3_augmented_speaker_stream(tmp_path, corpus, pseudo_ali, rng):
+    """Augmented copies (no alignments) feed ONLY the speaker stream:
+    the AM frame sampler skips them, the chunk sampler and extraction
+    include them — the reference's ASR-clean / xvec-augmented split."""
+    from sepi_tpu.data.augment import AugmentSpec
+    from sepi_tpu.recipes.drivers import AugmentOptions
+
+    pool = [(rng.normal(size=(16000,)) * 800).astype(np.float32) for _ in range(3)]
+    opts = AugmentOptions(
+        noises={"noise": pool}, specs=(AugmentSpec("noise", (10.0,)),), subset=10,
+    )
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    cfg = MultitaskConfig(
+        num_speakers=6, num_senones=10, embed_dim=32, hidden_dim=24, pool_dim=48
+    )
+    res = run_v3(
+        corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
+        workdir=str(tmp_path), model_cfg=cfg, alignments=pseudo_ali,
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=120,
+        augments=opts,
+    )
+    assert res.pooled.eer < 0.25
+    import os
+    scp = open(os.path.join(str(tmp_path), "xvector.scp")).read()
+    assert sum(1 for line in scp.splitlines() if "-noise" in line) == 10
