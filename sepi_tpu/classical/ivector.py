@@ -168,11 +168,10 @@ def stats_from_features(
     a senone net evaluated on hires features supplies the alignment of
     frames to components while the sid features supply the stats.
     """
-    utt_ids = sorted(features)
     # length-sorted groups + grid-padded t_max: distinct compiled shapes
     # stay O(length spread / 256) instead of one per group (each compile
     # is ~30 s through a remote-device tunnel)
-    utt_ids.sort(key=lambda u: (features[u].shape[0], u))
+    utt_ids = sorted(features, key=lambda u: (features[u].shape[0], u))
     all_stats: Optional[IvectorStats] = None
     for i0 in range(0, len(utt_ids), batch):
         group = utt_ids[i0 : i0 + batch]

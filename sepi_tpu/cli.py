@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug-subset", type=int, default=128000,
                    help="augmented utterances kept before combining with "
                         "clean (run_sre10.sh subsets 128k)")
+    p.add_argument("--aug-pool-max", type=int, default=1000,
+                   help="max files loaded per noise/RIR pool (pools are "
+                        "held in RAM; 0 = load everything)")
     p.add_argument("--text", default=None, help="Kaldi transcripts (v3/v4/v5)")
     p.add_argument("--lexicon", default=None, help="pronunciation lexicon (v3/v4/v5)")
     p.add_argument("--num-leaves", type=int, default=4096)
@@ -160,7 +163,8 @@ def main(argv=None) -> int:
 
         def pool(root):
             out = []
-            for dirpath, _, files in os.walk(root):
+            for dirpath, dirs, files in os.walk(root):
+                dirs.sort()  # filesystem-order walks break seed determinism
                 for f in sorted(files):
                     if f.lower().endswith((".wav", ".sph")):
                         x, r = read_audio(os.path.join(dirpath, f))
@@ -169,6 +173,8 @@ def main(argv=None) -> int:
                                 f"{dirpath}/{f}: rate {r} != {args.sample_rate}"
                             )
                         out.append(x)
+                        if args.aug_pool_max and len(out) >= args.aug_pool_max:
+                            return out
             return out
 
         noises = {}
@@ -204,6 +210,12 @@ def main(argv=None) -> int:
         )
 
     if args.variant == "v1":
+        if aug_kw:
+            raise SystemExit(
+                "v1 does not take --musan-dir/--rirs-dir: the reference "
+                "i-vector recipe trains on unaugmented data "
+                "(egs/sre/v1/run_sre10.sh has no augmentation stage)"
+            )
         res = drivers.run_v1(train_ds, train_audio, eval_audio, trials, enroll,
                              args.workdir, **adapt_kw)
     elif args.variant == "v2":
@@ -213,17 +225,17 @@ def main(argv=None) -> int:
     elif args.variant == "v3":
         res = drivers.run_v3(train_ds, train_audio, eval_audio, trials, enroll,
                              args.workdir, train_cfg=train_cfg,
-                             num_steps=args.num_steps, **phonetic_kw)
+                             num_steps=args.num_steps, **phonetic_kw, **aug_kw)
     elif args.variant == "v4":
         res = drivers.run_v4(train_ds, train_audio, eval_audio, trials, enroll,
                              args.workdir, train_cfg=train_cfg,
                              am_steps=args.am_steps,
-                             num_steps=args.num_steps, **phonetic_kw)
+                             num_steps=args.num_steps, **phonetic_kw, **aug_kw)
     else:
         res = drivers.run_v5(train_ds, train_audio, eval_audio, trials, enroll,
                              args.workdir, train_cfg=train_cfg,
                              am_steps=args.am_steps,
-                             num_steps=args.num_steps, **phonetic_kw)
+                             num_steps=args.num_steps, **phonetic_kw, **aug_kw)
     print(res.report)
     return 0
 

@@ -107,6 +107,25 @@ def _apply_augmentation(
     return combined, {**train_audio, **aug_audio}
 
 
+def _audio_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
+    """Content digest for feature-cache keys.  Keying on utt ids alone is
+    unsafe: augmented copies have deterministic ids (`{utt}-{kind}`)
+    whatever the RIR/noise pools and SNR draws produced, and caller audio
+    can change under unchanged ids — either would silently reuse stale
+    cached features.  Hashes per-utterance length, head samples, and the
+    full-signal sum (one cheap numpy pass)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for u in sorted(audio):
+        x = np.asarray(audio[u])
+        h.update(u.encode())
+        h.update(np.int64(x.shape[0]).tobytes())
+        h.update(np.asarray(x[:64], np.float32).tobytes())
+        h.update(np.float64(x.sum()).tobytes())
+    return h.hexdigest()
+
+
 def save_embeddings(utt_embeddings: Mapping[str, np.ndarray], workdir: str,
                     name: str = "xvector") -> None:
     """Persist embeddings as a Kaldi ark+scp pair (ivector-mean /
@@ -187,11 +206,11 @@ def run_v2(
             train_dataset, train_audio, augments
         )
     feats_train = cache.stage(
-        "feats_train", [train_dataset.name, sorted(train_audio)],
+        "feats_train", [train_dataset.name, _audio_fingerprint(train_audio)],
         lambda: pipeline.prepare_features_nosil(train_audio), log=print,
     )
     feats_eval = cache.stage(
-        "feats_eval", [eval_dataset.name, sorted(eval_audio)],
+        "feats_eval", [eval_dataset.name, _audio_fingerprint(eval_audio)],
         lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
     )
     model, state, _ = pipeline.train_xvector_model(
@@ -236,11 +255,11 @@ def run_v1(
 
     if posterior_provider is None:
         feats_train = cache.stage(
-            "ivec_feats_train", [train_dataset.name, sorted(train_audio)],
+            "ivec_feats_train", [train_dataset.name, _audio_fingerprint(train_audio)],
             lambda: prepare_features_ivector(train_audio), log=print,
         )
         feats_eval = cache.stage(
-            "ivec_feats_eval", [sorted(eval_audio)],
+            "ivec_feats_eval", [_audio_fingerprint(eval_audio)],
             lambda: prepare_features_ivector(eval_audio), log=print,
         )
         post_train = post_all = None
@@ -252,11 +271,11 @@ def run_v1(
             return {"sid": sid, "hires": hires}
 
         pt = cache.stage(
-            "paired_feats_train", [train_dataset.name, sorted(train_audio)],
+            "paired_feats_train", [train_dataset.name, _audio_fingerprint(train_audio)],
             lambda: _paired(train_audio), log=print,
         )
         pe = cache.stage(
-            "paired_feats_eval", [sorted(eval_audio)],
+            "paired_feats_eval", [_audio_fingerprint(eval_audio)],
             lambda: _paired(eval_audio), log=print,
         ) if eval_audio else {"sid": {}, "hires": {}}
         feats_train = {k: np.asarray(v, np.float32) for k, v in pt["sid"].items()}
@@ -307,12 +326,12 @@ def _phonetic_common(train_audio, eval_audio, alignments, workdir,
 
     cache = ArtifactCache(workdir)
     feats_eval = cache.stage(
-        "feats_eval", [sorted(eval_audio)],
+        "feats_eval", [_audio_fingerprint(eval_audio)],
         lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
     )
     if alignments is not None:
         feats_train = cache.stage(
-            "feats_train", [sorted(train_audio)],
+            "feats_train", [_audio_fingerprint(train_audio)],
             lambda: pipeline.prepare_features_nosil(train_audio), log=print,
         )
     elif transcripts is not None and lexicon is not None:
@@ -327,7 +346,7 @@ def _phonetic_common(train_audio, eval_audio, alignments, workdir,
 
         art = cache.stage(
             "s5_feats_ali",
-            [sorted(train_audio), align_cfg, lexicon,
+            [_audio_fingerprint(train_audio), align_cfg, lexicon,
              {u: list(transcripts[u]) for u in sorted(transcripts)}],
             _s5_stage, log=print,
         )

@@ -39,7 +39,7 @@ from ..config import (
     UbmConfig,
     VadConfig,
 )
-from ..ops import FeatureExtractor, add_deltas, energy_vad, select_voiced_frames, sliding_cmvn
+from ..ops import FeatureExtractor, add_deltas
 
 
 def prepare_features_ivector(

@@ -164,9 +164,11 @@ def nnet2_posteriors(
 
     out: Dict[str, np.ndarray] = {}
     # length-sorted groups + grid-padded lengths: a handful of compiled
-    # programs and B utterances per dispatch cover the corpus
+    # programs and B utterances per dispatch cover the corpus; group
+    # size targets ~batch_frames frames per dispatch (memory knob)
     items = sorted(features.items(), key=lambda kv: (kv[1].shape[0], kv[0]))
-    group_size = 8
+    typical = items[len(items) // 2][1].shape[0] + l + r if items else 1
+    group_size = max(1, batch_frames // max(typical, 1))
     for i in range(0, len(items), group_size):
         group = items[i : i + group_size]
         t_pad = -(-max(f.shape[0] + l + r for _, f in group) // 64) * 64

@@ -166,7 +166,13 @@ def _multitask_iter(features, alignments, dataset, cfg: TrainConfig,
     # am stream holds frames/frames_per_eg examples, the xvec stream
     # repeats_per_spk x speakers; both scale to the step budget and the
     # interleaver exhausts them together (cc:294-301,476-477).
-    total_frames = sum(f.shape[0] for f in features.values())
+    # AM-stream budget counts only alignment-bearing frames: augmented
+    # copies (no transcripts) feed the speaker stream exclusively, and
+    # FrameSampler skips them, so counting them would inflate the am:xvec
+    # interleave ratio
+    total_frames = sum(
+        f.shape[0] for u, f in features.items() if u in alignments
+    )
     am_egs = max(total_frames // frames_per_eg, 1)
     am_batches_epoch = max(-(-am_egs // cfg.am_batch_size), 1)
     if cfg.repeats_per_spk > 0:

@@ -173,6 +173,11 @@ def build_optimizer(
 ) -> Tuple[optax.GradientTransformation, Callable]:
     """The full chain; returns (tx, lr_schedule_fn)."""
     sched = lr_schedule(cfg, total_steps, num_jobs_multiplier)
+    if cfg.preconditioner == "muon" and cfg.l2_regularize > 0:
+        raise ValueError(
+            "l2_regularize is only implemented for the momentum-SGD chain "
+            "(preconditioner='none'); with muon use proportional_shrink"
+        )
     if cfg.preconditioner == "muon":
         # Shampoo-family NG-SGD substitute (see module deviation note):
         # Newton-Schulz orthogonalized momentum on matrix params (pure
