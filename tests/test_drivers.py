@@ -218,3 +218,21 @@ def test_run_v3_augmented_speaker_stream(tmp_path, corpus, pseudo_ali, rng):
     import os
     scp = open(os.path.join(str(tmp_path), "xvector.scp")).read()
     assert sum(1 for line in scp.splitlines() if "-noise" in line) == 10
+
+
+def test_audio_fingerprint_busts_stale_feature_cache(rng):
+    """Feature caches key on audio CONTENT: identical utt ids with
+    different samples (e.g. new augmentation pools) must produce a
+    different stage key (the stale-cache review finding)."""
+    from sepi_tpu.recipes.drivers import _audio_fingerprint
+
+    a = {"u1-noise": (rng.normal(size=(8000,)) * 100).astype(np.float32)}
+    b = {"u1-noise": (rng.normal(size=(8000,)) * 100).astype(np.float32)}
+    assert _audio_fingerprint(a) != _audio_fingerprint(b)
+    assert _audio_fingerprint(a) == _audio_fingerprint(
+        {k: v.copy() for k, v in a.items()}
+    )
+    # tail-only changes are caught too (head+sum fingerprint)
+    c = {k: v.copy() for k, v in a.items()}
+    c["u1-noise"][-1] += 1.0
+    assert _audio_fingerprint(a) != _audio_fingerprint(c)
