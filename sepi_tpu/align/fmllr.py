@@ -29,7 +29,7 @@ fMLLR); the row solver is tiny ((D+1)^2 per row) and runs host-side.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ spk2gender files.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from .manifest import Dataset, Trial, Utterance
 

@@ -23,7 +23,6 @@ streams, split back per consumer).  This module provides:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Mapping, Optional, Tuple
 
 import jax

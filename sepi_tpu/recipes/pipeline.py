@@ -26,11 +26,9 @@ from ..backend import compute_lda, length_normalize, subtract_global_mean, train
 from ..backend.plda import score_trials
 from ..config import (
     BackendConfig,
-    ChunkConfig,
     CmvnConfig,
     ExtractConfig,
     FrontendConfig,
-    OptimizerConfig,
     TrainConfig,
     VadConfig,
 )
@@ -40,7 +38,7 @@ from ..extract import EmbeddingExtractor
 from ..metrics import EvalResult, evaluate_scores
 from ..metrics.det import split_scores_by_trials
 from ..models import XVector, XVectorConfig
-from ..ops import FeatureExtractor, energy_vad, select_voiced_frames, sliding_cmvn
+from ..ops import FeatureExtractor, energy_vad, sliding_cmvn
 from ..train import (
     Trainer,
     build_optimizer,
