@@ -16,10 +16,13 @@ one batched computation:
     sum_d [ logN(v_d ; n psi_d/(n psi_d+1) u_d , 1 + psi_d/(n psi_d+1))
           - logN(v_d ; 0, 1 + psi_d) ]
 
-TPU design: the (models x tests) LLR matrix is a rank-1-quadratic
-expansion -> two GEMMs + elementwise, jitted; shard over hosts for very
-large trial lists (the "PLDA trial scoring sharded over hosts" item in
-BASELINE.json).
+This module is the float64 host reference semantics.  The on-device
+paths live in `backend/device.py`: `plda_score_matrix_device` (the LLR
+matrix as two GEMMs + elementwise, jitted), `plda_score_matrix_sharded`
+(model axis sharded over the mesh — the "PLDA trial scoring sharded over
+hosts" item in BASELINE.json), and `train_plda_device` (EM with batched
+on-device E-steps).  Parity between the two is pinned by
+tests/test_backend.py.
 """
 
 from __future__ import annotations
