@@ -127,7 +127,72 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def prep_asr_main(argv) -> int:
+    """`python -m sepi_tpu prep-asr`: walk raw LDC ASR layouts into the
+    Kaldi-style artifacts the v3/v4/v5 flags consume (--train-data dir +
+    --text + --lexicon) — the fisher_data_prep.sh / swbd1_data_prep.sh /
+    fisher_swbd_prepare_dict.sh / make_mx6.sh surface."""
+    p = argparse.ArgumentParser(prog="sepi_tpu prep-asr",
+                                description=prep_asr_main.__doc__)
+    p.add_argument("--fisher-dir", action="append", default=[],
+                   help="Fisher LDC root(s) (fe_03_tran / fe_03_data_sph); "
+                        "repeatable")
+    p.add_argument("--swbd-dir", default=None, help="Switchboard-1 LDC root")
+    p.add_argument("--mx6-dir", default=None, help="Mixer 6 (LDC2013S03) root")
+    p.add_argument("--cmudict", default=None,
+                   help="cmudict.0.7a path (lexicon source; required with "
+                        "--fisher-dir/--swbd-dir)")
+    p.add_argument("--out-dir", required=True)
+    args = p.parse_args(argv)
+    from .data.asr_prep import (
+        apply_oov, build_lexicon, read_cmudict,
+        walk_fisher, walk_mx6, walk_swbd1,
+    )
+    from .data.corpora import write_kaldi_dir
+
+    transcripts: Dict[str, List[str]] = {}
+    datasets = []
+    if args.fisher_dir:
+        ds, text = walk_fisher(args.fisher_dir)
+        datasets.append(ds)
+        transcripts.update(text)
+    if args.swbd_dir:
+        ds, text = walk_swbd1(args.swbd_dir)
+        datasets.append(ds)
+        transcripts.update(text)
+    if args.mx6_dir:
+        write_kaldi_dir(walk_mx6(args.mx6_dir),
+                        os.path.join(args.out_dir, "mx6"))
+        print(f"wrote {args.out_dir}/mx6", flush=True)
+    if datasets:
+        combined = datasets[0]
+        for d in datasets[1:]:
+            combined = combined.combine(d)
+        train_dir = os.path.join(args.out_dir, "train_asr")
+        write_kaldi_dir(combined, train_dir)
+        if not args.cmudict:
+            raise SystemExit("--cmudict is required to build the lexicon")
+        lex, oov = build_lexicon(transcripts, read_cmudict(args.cmudict))
+        transcripts = apply_oov(transcripts, lex)
+        with open(os.path.join(train_dir, "text"), "w") as f:
+            for u in sorted(transcripts):
+                f.write(f"{u} {' '.join(transcripts[u])}\n")
+        with open(os.path.join(args.out_dir, "lexicon.txt"), "w") as f:
+            for w in sorted(lex.pron):
+                f.write(f"{w} {' '.join(lex.pron[w])}\n")
+        with open(os.path.join(args.out_dir, "oov_counts.txt"), "w") as f:
+            for w, c in sorted(oov.items(), key=lambda kv: -kv[1]):
+                f.write(f"{c} {w}\n")
+        print(f"wrote {train_dir} (+text), {args.out_dir}/lexicon.txt "
+              f"({len(lex.pron)} words, {len(oov)} OOV types)", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "prep-asr":
+        return prep_asr_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .config import AlignConfig, ChunkConfig, OptimizerConfig, TrainConfig
     from .data.manifest import load_trials

@@ -159,12 +159,36 @@ def dataset_from_kaldi_dir(path: str, name: Optional[str] = None) -> Dataset:
 
 
 def write_kaldi_dir(dataset: Dataset, path: str) -> None:
-    """Interop: emit wav.scp / utt2spk / spk2utt (+optional maps)."""
+    """Interop: emit wav.scp / utt2spk / spk2utt (+optional maps).
+
+    Utterances with segment info produce a `segments` file and a
+    recording-keyed wav.scp; SPHERE channel meta is written back as the
+    `sph2pipe -f wav -p -c N path |` pipe form `dataset_from_kaldi_dir`
+    parses, so walker outputs round-trip."""
     os.makedirs(path, exist_ok=True)
+    seg_rows = [
+        (u.utt_id, u.recording, u.start, u.end)
+        for u in dataset
+        if u.recording is not None and u.start is not None and u.end is not None
+    ]
     with open(os.path.join(path, "wav.scp"), "w") as f:
+        seen = set()
         for u in dataset:
-            if u.wav:
-                f.write(f"{u.utt_id} {u.wav}\n")
+            if not u.wav:
+                continue
+            key = u.recording if (u.recording and u.start is not None) else u.utt_id
+            if key in seen:
+                continue
+            seen.add(key)
+            if u.get_meta("codec") == "sph":
+                ch = u.get_meta("channel", "1")
+                f.write(f"{key} sph2pipe -f wav -p -c {ch} {u.wav} |\n")
+            else:
+                f.write(f"{key} {u.wav}\n")
+    if seg_rows:
+        with open(os.path.join(path, "segments"), "w") as f:
+            for utt, rec, s, e in seg_rows:
+                f.write(f"{utt} {rec} {s:.2f} {e:.2f}\n")
     with open(os.path.join(path, "utt2spk"), "w") as f:
         for u in dataset:
             f.write(f"{u.utt_id} {u.spk_id}\n")
