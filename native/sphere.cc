@@ -46,6 +46,7 @@ enum {
   SPH_E_TRUNCATED = -4,
   SPH_E_CHANNEL = -5,
   SPH_E_SHORTEN = -6,
+  SPH_E_ALLOC = -7,
 };
 
 // ---------------------------------------------------------------------
@@ -481,10 +482,12 @@ int sph_read(const char* path, int channel, int16_t** out, long* out_n) {
   long frames = (long)(lin.size() / nch);
   if (channel == 0) {
     *out = (int16_t*)malloc(sizeof(int16_t) * lin.size());
+    if (*out == nullptr) return SPH_E_ALLOC;
     memcpy(*out, lin.data(), sizeof(int16_t) * lin.size());
     *out_n = (long)lin.size();
   } else {
     *out = (int16_t*)malloc(sizeof(int16_t) * frames);
+    if (*out == nullptr) return SPH_E_ALLOC;
     for (long i = 0; i < frames; i++)
       (*out)[i] = lin[i * nch + (channel - 1)];
     *out_n = frames;

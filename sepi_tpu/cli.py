@@ -100,11 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "1 = dispatch every step)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="background batch-prefetch depth (0 disables)")
-    p.add_argument("--preconditioner", choices=["none", "muon"], default="none",
-                   help="'muon' = orthogonalized-momentum preconditioning "
-                        "(the NG-SGD substitute; converges much faster at "
-                        "many-speaker scale, see docs/BENCHMARKS.md); "
-                        "'none' = reference momentum-SGD semantics")
+    p.add_argument("--preconditioner", choices=["none", "muon"], default="muon",
+                   help="'muon' (default) = orthogonalized-momentum "
+                        "preconditioning (the NG-SGD substitute; converges "
+                        "much faster at many-speaker scale, see "
+                        "docs/BENCHMARKS.md); 'none' = reference "
+                        "momentum-SGD-without-NG semantics")
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--adapt-data", default=None,
                    help="unlabeled in-domain dir for PLDA adaptation (SRE16)")

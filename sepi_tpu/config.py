@@ -170,11 +170,18 @@ class OptimizerConfig:
     num_epochs: int = 3
     dropout_schedule: str = "0,0@0.20,0.1@0.50,0"
     shrink_guard: float = 0.5  # train_cvector_dnn.py:292-296
-    # "none" = momentum SGD (the reference's update, minus NG-SGD — see
-    # train/optim.py deviation note); "muon" = Newton-Schulz orthogonalized
-    # momentum (a Shampoo-family preconditioner, the TPU-native NG-SGD
-    # substitute: the orthogonalization is pure matmuls on the MXU).
-    preconditioner: str = "none"
+    # "muon" = Newton-Schulz orthogonalized momentum (a Shampoo-family
+    # preconditioner, the TPU-native NG-SGD substitute: the
+    # orthogonalization is pure matmuls on the MXU).  DEFAULT, because
+    # the reference always trains with NG-SGD and the plain-momentum
+    # chain measurably cliffs on fresh wide softmax heads (the hardware
+    # A/B in docs/BENCHMARKS.md "Optimizer": 0.67 vs 1.00 train accuracy
+    # at step 800 on full-size v2 / 200 speakers at equal wall cost;
+    # regression pinned by tests/test_optim_variants.py::
+    # test_default_optimizer_clears_momentum_cliff).
+    # "none" = momentum SGD (the reference's update minus NG-SGD — for
+    # exact-reference-semantics comparisons; see train/optim.py).
+    preconditioner: str = "muon"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -129,6 +129,8 @@ def extract_segments(
     sample_rate: int,
     min_segment_length: float = 0.1,
     max_overshoot: float = 0.5,
+    strict: bool = False,
+    log=None,
 ):
     """Crop recording audio into per-utterance segments — the
     `extract-segments` binary's semantics on in-memory arrays.
@@ -143,9 +145,16 @@ def extract_segments(
       max_overshoot: how far (s) ``end`` may exceed the recording before
         the row is rejected; within tolerance it is clamped
         (Kaldi --max-overshoot).
+      strict: when False (default, matching extract-segments), a row
+        with a missing recording or over-overshoot end is warned about
+        and skipped so one malformed segments row cannot abort the
+        corpus load; when True such rows raise.
+      log: optional callable for skip warnings (default: print).
     Returns: utt_id -> samples.
     """
+    warn = log or print
     out = {}
+    skipped = 0
     for u in dataset:
         if u.start is None and u.end is None:
             key = u.recording or u.utt_id
@@ -154,19 +163,29 @@ def extract_segments(
             continue
         rec = u.recording or u.wav
         if rec not in recordings:
-            raise KeyError(f"{u.utt_id}: recording {rec!r} not supplied")
+            if strict:
+                raise KeyError(f"{u.utt_id}: recording {rec!r} not supplied")
+            warn(f"extract_segments: skipping {u.utt_id}: recording "
+                 f"{rec!r} not supplied")
+            skipped += 1
+            continue
         x = recordings[rec]
         n = len(x)
         if u.end - u.start < min_segment_length:
             continue
         if u.end * sample_rate > n + max_overshoot * sample_rate:
-            raise ValueError(
-                f"{u.utt_id}: segment end {u.end}s overshoots recording "
-                f"({n / sample_rate:.2f}s) beyond max_overshoot"
-            )
+            msg = (f"{u.utt_id}: segment end {u.end}s overshoots recording "
+                   f"({n / sample_rate:.2f}s) beyond max_overshoot")
+            if strict:
+                raise ValueError(msg)
+            warn(f"extract_segments: skipping {msg}")
+            skipped += 1
+            continue
         i0 = int(round(u.start * sample_rate))
         i1 = min(int(round(u.end * sample_rate)), n)
         if i1 - i0 < int(min_segment_length * sample_rate):
             continue
         out[u.utt_id] = x[i0:i1]
+    if skipped:
+        warn(f"extract_segments: skipped {skipped} malformed segment rows")
     return out

@@ -154,6 +154,7 @@ def walk_sre16_eval(
     ]
 
     trials: Dict[str, List[Trial]] = {"pooled": [], "tgl": [], "yue": []}
+    unknown_lang: set = set()
     with open(os.path.join(db_base, "docs", "sre16_eval_trial_key.tsv")) as f:
         for line in f:
             toks = line.split()
@@ -166,7 +167,13 @@ def walk_sre16_eval(
             if lang in ("tgl", "yue"):
                 trials[lang].append(t)
             else:
-                raise ValueError(f"unexpected language {lang!r} for {seg}")
+                # missing/unknown language metadata: the trial still
+                # counts toward pooled (one absent calls.tsv row must not
+                # abort the whole walk); it just joins no language split
+                unknown_lang.add(seg)
+    if unknown_lang:
+        print(f"walk_sre16_eval: {len(unknown_lang)} test segments with "
+              "missing/unknown language metadata (pooled-only)")
     return (
         Dataset(enroll_utts, "sre16_eval_enroll"),
         Dataset(test_utts, "sre16_eval_test"),

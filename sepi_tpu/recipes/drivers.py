@@ -112,8 +112,11 @@ def _audio_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
     unsafe: augmented copies have deterministic ids (`{utt}-{kind}`)
     whatever the RIR/noise pools and SNR draws produced, and caller audio
     can change under unchanged ids — either would silently reuse stale
-    cached features.  Hashes per-utterance length, head samples, and the
-    full-signal sum (one cheap numpy pass)."""
+    cached features.  Hashes per-utterance length, a ~256-point strided
+    sample spanning the whole signal, and the full-signal sum (edits
+    anywhere in the buffer perturb the strided probe even when they
+    preserve the sum — e.g. permuted noise segments from a changed
+    augmentation pool)."""
     import hashlib
 
     h = hashlib.sha1()
@@ -121,7 +124,7 @@ def _audio_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
         x = np.asarray(audio[u])
         h.update(u.encode())
         h.update(np.int64(x.shape[0]).tobytes())
-        h.update(np.asarray(x[:64], np.float32).tobytes())
+        h.update(np.asarray(x[:: max(1, len(x) // 256)], np.float32).tobytes())
         h.update(np.float64(x.sum()).tobytes())
     return h.hexdigest()
 

@@ -441,7 +441,25 @@ class Trainer:
                 prev, n = n, n + k
                 last = num_steps is not None and n >= num_steps
                 if crossed(prev, n, self.log_every) or last:
-                    self._record(n, task, {m: v[-1] for m, v in metrics.items()})
+                    # each metric is the (K,) per-step vector from the
+                    # scan: guard every step in the dispatch (a transient
+                    # non-finite objf at a non-final scan step must flag
+                    # here, not after it poisons later params) and record
+                    # the block mean alongside the last value
+                    vals = {m: np.asarray(v) for m, v in metrics.items()}
+                    objf = vals.get("objf")
+                    if objf is not None and not np.all(np.isfinite(objf)):
+                        bad = int(np.argmax(~np.isfinite(np.ravel(objf))))
+                        raise RuntimeError(
+                            f"training diverged: non-finite objective "
+                            f"inside superstep dispatch ending at step {n} "
+                            f"(task {task}, scan step {bad + 1}/{k})"
+                        )
+                    rec = {m: float(np.ravel(v)[-1]) for m, v in vals.items()}
+                    rec.update({
+                        f"{m}_mean": float(v.mean()) for m, v in vals.items()
+                    })
+                    self._record(n, task, rec)
             else:
                 self.state, metrics = self.steps[task](
                     self.state, feats, labels, weight

@@ -36,6 +36,7 @@ _ERRORS = {
     -4: "truncated payload",
     -5: "bad channel selector",
     -6: "bad shorten stream",
+    -7: "out of memory decoding samples",
 }
 
 

@@ -73,7 +73,10 @@ cfg = XVectorConfig(
     embed_dim=16,
 )
 model = XVector(cfg)
-tx, _ = build_optimizer(OptimizerConfig(), 100)
+# reference-semantics chain: the sharded-vs-replicated parity assertions
+# below need the linear momentum update (the default muon preconditioner
+# amplifies reassociation roundoff by design)
+tx, _ = build_optimizer(OptimizerConfig(preconditioner="none"), 100)
 feats = rng.normal(size=(8, 20, 8)).astype(np.float32)
 labels = (np.arange(8) % 4).astype(np.int32)
 

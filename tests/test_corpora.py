@@ -175,9 +175,24 @@ def test_extract_segments_overshoot_policy(rng):
     ok = Dataset([Utterance("u1", "s", wav="r", recording="r", start=1.0, end=2.3)])
     out = extract_segments(rec, ok, sr, max_overshoot=0.5)
     assert len(out["u1"]) == 1000  # clamped to recording end
-    bad = Dataset([Utterance("u2", "s", wav="r", recording="r", start=1.0, end=2.8)])
+    bad = Dataset([
+        Utterance("u1", "s", wav="r", recording="r", start=1.0, end=2.3),
+        Utterance("u2", "s", wav="r", recording="r", start=1.0, end=2.8),
+        Utterance("u3", "s", wav="missing", recording="missing", start=0.0, end=1.0),
+    ])
+    # default (extract-segments semantics): warn and skip the bad rows,
+    # keep the good ones — one malformed segments row must not abort the
+    # whole corpus load
+    warnings = []
+    out = extract_segments(rec, bad, sr, max_overshoot=0.5, log=warnings.append)
+    assert set(out) == {"u1"}
+    assert any("u2" in w for w in warnings) and any("u3" in w for w in warnings)
+    # strict: raise
     with pytest.raises(ValueError, match="overshoot"):
-        extract_segments(rec, bad, sr, max_overshoot=0.5)
+        extract_segments(rec, bad.subset(["u2"]), sr, max_overshoot=0.5,
+                         strict=True)
+    with pytest.raises(KeyError, match="missing"):
+        extract_segments(rec, bad.subset(["u3"]), sr, strict=True)
 
 
 def test_validate_rejects_bad_segment():

@@ -70,6 +70,67 @@ def test_unknown_preconditioner_raises():
         build_optimizer(OptimizerConfig(preconditioner="adagrad"), 100)
 
 
+def test_default_optimizer_clears_momentum_cliff():
+    """Convergence-floor pin for the DEFAULT optimizer config (the
+    docs/BENCHMARKS.md 'Optimizer' A/B, scaled to CI): a fresh wide
+    softmax head dominates the gradient norm and the max-param-change
+    clip throttles plain momentum at the reference LR (0.67 vs 1.00 at
+    step 800 on full-size v2 / 200 speakers on hardware).  At this CI
+    scale (128 speakers, tiny trunk, 200 steps) momentum SGD sits at
+    ~0.03 accuracy while the default (muon) reaches ~0.45.  The floor
+    pins that the default path can never regress to the momentum cliff;
+    the ceiling on 'none' pins that the scenario still exposes it."""
+    import jax
+
+    from sepi_tpu.data.manifest import Dataset, Utterance
+    from sepi_tpu.data.sampler import ChunkSampler
+    from sepi_tpu.train import create_train_state
+    from sepi_tpu.train.trainer import Trainer, make_eval_step, make_xvec_step
+
+    n_spk, steps = 128, 200
+    rng = np.random.default_rng(0)
+    means = rng.normal(size=(n_spk, 23)).astype(np.float32) * 0.8
+    feats, utts = {}, []
+    for s in range(n_spk):
+        spk = f"s{s:03d}"
+        for u in range(2):
+            uid = f"{spk}-u{u}"
+            feats[uid] = (means[s] + rng.normal(size=(120, 23))).astype(np.float32)
+            utts.append(Utterance(utt_id=uid, spk_id=spk, wav="",
+                                  num_samples=120 * 80, sample_rate=8000,
+                                  duration=1.2))
+    ds = Dataset(utts, "cliff")
+
+    def train(opt_cfg):
+        cfg = XVectorConfig(feat_dim=23, num_speakers=n_spk,
+                            frame_specs=TINY_SPECS, embed_dim=32)
+        model = XVector(cfg)
+        sampler = ChunkSampler(
+            feats, ds,
+            ChunkConfig(min_chunk_len=50, max_chunk_len=80, num_buckets=2),
+            batch_size=64, seed=3,
+        )
+        tx, _ = build_optimizer(opt_cfg, steps)
+        probe = sampler.sample_batch(sampler.buckets[0])
+        import jax as _j
+
+        state = create_train_state(model, tx, _j.random.PRNGKey(0), probe.feats)
+        trainer = Trainer(steps={"xvec": make_xvec_step(model, tx)},
+                          state=state, log_every=1000)
+        state = trainer.run(iter(sampler), num_steps=steps)
+        b = sampler.sample_batch(sampler.buckets[0])
+        return float(make_eval_step(model)(state, b.feats, b.labels)["accuracy"])
+
+    assert OptimizerConfig().preconditioner == "muon"  # the default itself
+    acc_default = train(OptimizerConfig())  # defaults: reference LR, muon
+    acc_momentum = train(OptimizerConfig(preconditioner="none"))
+    assert acc_default > 0.3, f"default optimizer regressed: acc={acc_default:.3f}"
+    assert acc_momentum < 0.15, (
+        f"scenario no longer exposes the cliff (momentum acc="
+        f"{acc_momentum:.3f}); recalibrate the floor"
+    )
+
+
 def test_bfloat16_training_converges(world):
     """ROADMAP item: validate bf16 training.  Params stay f32; conv
     compute runs in bf16 (the MXU fast path); convergence must match the
