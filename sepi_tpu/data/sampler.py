@@ -79,6 +79,7 @@ class ChunkSampler:
         batch_size: int = 64,
         seed: int = 123,
         block_size: int = 1,
+        label_map: Optional[Mapping[str, int]] = None,
     ):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -89,7 +90,12 @@ class ChunkSampler:
         # batches (train/trainer.py).
         self.block_size = max(1, block_size)
         self.rng = np.random.default_rng(seed)
-        self.label_map = dataset.speaker_label_map()
+        # label_map must be passed at construction when this sampler sees
+        # a SUBSET of the training population (e.g. a held-out valid
+        # split): per-speaker state below is keyed by these labels, so a
+        # subset-local map would emit labels inconsistent with the model
+        # head.
+        self.label_map = dict(label_map) if label_map else dataset.speaker_label_map()
         self.num_speakers = len(self.label_map)
         self.feat_dim = next(iter(features.values())).shape[1]
         self.buckets = bucket_lengths(cfg)

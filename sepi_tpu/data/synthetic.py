@@ -12,7 +12,7 @@ on it, and a broken one won't.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -91,6 +91,21 @@ def _phone_filter(freqs, bws, sample_rate: int) -> np.ndarray:
     return (h / np.max(np.abs(h))).astype(np.float32)
 
 
+def _channel_filter(rng: np.random.Generator, strength: float) -> np.ndarray:
+    """Random smooth 16-tap 'handset' FIR mixed with identity at
+    ``strength`` — per-utterance channel/session variability.  Distinct
+    ``rng`` streams give distinct channel FAMILIES (domain shift for the
+    PLDA-adaptation gauntlet)."""
+    g = rng.standard_normal(16).astype(np.float32)
+    # smooth: 3-tap moving average twice, then normalize
+    for _ in range(2):
+        g = np.convolve(g, np.ones(3, np.float32) / 3.0, mode="same")
+    g = g / (np.max(np.abs(g)) + 1e-8)
+    h = np.zeros(16, np.float32)
+    h[0] = 1.0
+    return h + strength * g
+
+
 def make_phonetic_corpus(
     num_speakers: int = 6,
     utts_per_speaker: int = 5,
@@ -100,6 +115,13 @@ def make_phonetic_corpus(
     words_per_utt: Tuple[int, int] = (2, 4),
     phone_ms: Tuple[int, int] = (90, 160),
     sil_ms: Tuple[int, int] = (120, 280),
+    speaker_strength: float = 0.25,
+    f0_jitter: float = 0.0,
+    noise_snr_db: Optional[Tuple[float, float]] = None,
+    channel_strength: float = 0.0,
+    channel_seed: Optional[int] = None,
+    phone_seed: Optional[int] = None,
+    spk_prefix: str = "spk",
 ):
     """Synthetic corpus whose utterances are word sequences of phone
     segments with known acoustics (the s5 conformance world).
@@ -110,16 +132,42 @@ def make_phonetic_corpus(
     embedding) are recoverable from MFCCs.  Inter-word gaps are low-energy
     silence, exercising the optional-silence arcs of the alignment graph
     and the VAD strip / select-voiced-ali invariant downstream.
+
+    Hardness knobs (the non-degenerate gauntlet; defaults preserve the
+    original easy corpus):
+      speaker_strength: how much of the speaker's spectral-tilt filter is
+        mixed in (0.25 = easy; ~0.1 overlaps speakers enough that EER is
+        measurable).
+      f0_jitter: per-UTTERANCE relative pitch jitter around the speaker's
+        mean f0 (pitch stops being a free speaker giveaway).
+      noise_snr_db: (lo, hi) — each utterance gets white noise at an SNR
+        drawn uniformly from this range (measured on the speech segments).
+      channel_strength / channel_seed: per-utterance random smooth FIR
+        'handset' at this strength; the seed selects the channel FAMILY,
+        so corpora built with different channel_seed values are
+        domain-shifted relative to each other (the SRE16 adaptation
+        scenario).
+      phone_seed: when given, the phone-filter inventory comes from its
+        own rng stream — corpora built with different ``seed`` but the
+        same ``phone_seed`` share one 'language' (disjoint-speaker
+        train/eval gauntlets).  Default (None) keeps the inventory on the
+        main stream, byte-identical to the original generator.
+      spk_prefix: speaker-id prefix, so multiple corpora can coexist
+        without utt-id collisions.
     """
     from ..align.mono import Lexicon
 
     rng = np.random.default_rng(seed)
+    chan_rng = np.random.default_rng(
+        seed + 7919 if channel_seed is None else channel_seed
+    )
+    phone_rng = rng if phone_seed is None else np.random.default_rng(phone_seed)
     # Phone inventory: distinct formant pairs spread over the band.
     phone_names = ["aa", "ee", "oo", "kk", "ss", "tt", "mm", "rr"]
     filters = {}
     for i, p in enumerate(phone_names):
-        f1 = 350 + 380 * i + rng.uniform(-40, 40)
-        f2 = 3400 - 330 * i + rng.uniform(-40, 40)
+        f1 = 350 + 380 * i + phone_rng.uniform(-40, 40)
+        f2 = 3400 - 330 * i + phone_rng.uniform(-40, 40)
         filters[p] = _phone_filter([f1, f2], [120.0, 160.0], sample_rate)
     pron = {
         "bab": ["aa", "kk", "aa"],
@@ -136,7 +184,7 @@ def make_phonetic_corpus(
     transcripts: Dict[str, List[str]] = {}
     word_list = sorted(pron)
     for s in range(num_speakers):
-        spk = f"spk{s:03d}"
+        spk = f"{spk_prefix}{s:03d}"
         f0 = rng.uniform(90, 240)
         spk_h = _speaker_filter(rng, sample_rate)
         for u in range(utts_per_speaker):
@@ -151,7 +199,14 @@ def make_phonetic_corpus(
                 return 0.003 * rng.standard_normal(n).astype(np.float32)
 
             segs.append(sil_seg())
-            period = max(int(sample_rate / f0), 8)
+            # guard the draw: rng-stream compatibility for jitter-free
+            # corpora (an unconditional draw would shift every later draw)
+            f0_utt = (
+                f0 * (1.0 + f0_jitter * float(rng.uniform(-1.0, 1.0)))
+                if f0_jitter > 0.0 else f0
+            )
+            period = max(int(sample_rate / f0_utt), 8)
+            spk_mix = speaker_strength * spk_h + (1.0 - speaker_strength) * _DELTA64
             for wi, w in enumerate(words):
                 for p in pron[w]:
                     n = int(rng.integers(*phone_ms) * sample_rate // 1000)
@@ -159,12 +214,21 @@ def make_phonetic_corpus(
                     exc[::period] = 1.0
                     exc += 0.05 * rng.standard_normal(n).astype(np.float32)
                     x = np.convolve(exc, filters[p], mode="same")
-                    x = np.convolve(x, 0.25 * spk_h + 0.75 * _DELTA64, mode="same")
+                    x = np.convolve(x, spk_mix, mode="same")
                     segs.append(x.astype(np.float32))
                 if wi < len(words) - 1 and rng.random() < 0.7:
                     segs.append(sil_seg())
             segs.append(sil_seg())
             x = np.concatenate(segs)
+            if channel_strength > 0.0:
+                x = np.convolve(
+                    x, _channel_filter(chan_rng, channel_strength), mode="same"
+                ).astype(np.float32)
+            if noise_snr_db is not None:
+                snr = float(rng.uniform(*noise_snr_db))
+                sig_p = float(np.mean(np.square(x))) + 1e-12
+                noise_std = np.sqrt(sig_p / (10.0 ** (snr / 10.0)))
+                x = x + noise_std * rng.standard_normal(len(x)).astype(np.float32)
             x = x / (np.std(x) + 1e-8) * 8000.0
             audio[utt_id] = x.astype(np.float32)
             transcripts[utt_id] = words

@@ -197,9 +197,20 @@ def run_v2(
     condition_fn=None,
     mesh=None,
     augments: Optional[AugmentOptions] = None,
+    num_heldout_utts: Optional[int] = None,
+    checkpoint_dir: Optional[str] = "auto",
 ) -> RunResult:
+    """``num_heldout_utts`` (default auto — the reference ALWAYS holds
+    out valid diagnostics; 0 disables) and ``checkpoint_dir`` (default
+    ``<workdir>/ckpt``; None disables) turn on the reference's standing
+    training machinery: periodic held-out objf logging
+    (nnet3-compute-prob) and the final checkpoint-tail combination on
+    the held-out objective (nnet3-combine,
+    `frame_level_objf/common.py:763-826`)."""
     cache = ArtifactCache(workdir)
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
+    if checkpoint_dir == "auto":
+        checkpoint_dir = f"{workdir}/ckpt"
 
     if augments is not None:
         # stage 2: reverb/noise/music/babble copies + subset + combine
@@ -217,7 +228,8 @@ def run_v2(
         lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
     )
     model, state, _ = pipeline.train_xvector_model(
-        feats_train, train_dataset, model_cfg, train_cfg, num_steps, mesh=mesh, log=log
+        feats_train, train_dataset, model_cfg, train_cfg, num_steps, mesh=mesh,
+        log=log, num_heldout_utts=num_heldout_utts, checkpoint_dir=checkpoint_dir,
     )
     min_frames = (model_cfg or XVectorConfig()).min_frames
     embs = pipeline.extract_and_score(model, state, {**feats_train, **feats_eval},
@@ -386,7 +398,11 @@ def run_v3(
     lexicon=None,
     align_cfg=None,
     augments: Optional[AugmentOptions] = None,
+    num_heldout_utts: Optional[int] = None,
+    checkpoint_dir: Optional[str] = "auto",
 ) -> RunResult:
+    if checkpoint_dir == "auto":
+        checkpoint_dir = f"{workdir}/ckpt"
     if augments is not None:
         # augmented copies join the SPEAKER stream only: they carry no
         # transcripts/alignments, so the AM frame sampler skips them
@@ -411,7 +427,8 @@ def run_v3(
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     model, state = phonetic.train_multitask_model(
         feats_train, alignments, train_dataset, model_cfg, train_cfg, num_steps,
-        mesh=mesh, log=log,
+        mesh=mesh, log=log, checkpoint_dir=checkpoint_dir,
+        num_heldout_utts=num_heldout_utts,
     )
     l, r = model_cfg.xvec_context
     embs = pipeline.extract_and_score(
@@ -444,7 +461,11 @@ def run_v4(
     lexicon=None,
     align_cfg=None,
     augments: Optional[AugmentOptions] = None,
+    num_heldout_utts: Optional[int] = None,
+    checkpoint_dir: Optional[str] = "auto",
 ) -> RunResult:
+    if checkpoint_dir == "auto":
+        checkpoint_dir = f"{workdir}/ckpt"
     if augments is not None:
         # augmented copies join the SPEAKER stream only: they carry no
         # transcripts/alignments, so the AM frame sampler skips them
@@ -468,12 +489,15 @@ def run_v4(
         num_speakers=len(train_dataset.speakers), am=am_cfg
     )
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
+    # AM pretraining runs without valid diagnostics, matching the
+    # reference (train_am.sh removes valid_diagnostic.scp)
     am_model, am_state = phonetic.train_am_model(
         feats_train, alignments, am_cfg, train_cfg, am_steps, mesh=mesh, log=log
     )
     model, state = phonetic.train_adapted_model(
         feats_train, train_dataset, am_model, am_state, model_cfg, train_cfg,
         num_steps, am_lr_factor, mesh=mesh, log=log,
+        checkpoint_dir=checkpoint_dir, num_heldout_utts=num_heldout_utts,
     )
     l, r = model_cfg.context
     embs = pipeline.extract_and_score(
@@ -506,7 +530,11 @@ def run_v5(
     lexicon=None,
     align_cfg=None,
     augments: Optional[AugmentOptions] = None,
+    num_heldout_utts: Optional[int] = None,
+    checkpoint_dir: Optional[str] = "auto",
 ) -> RunResult:
+    if checkpoint_dir == "auto":
+        checkpoint_dir = f"{workdir}/ckpt"
     if augments is not None:
         # augmented copies join the SPEAKER stream only: they carry no
         # transcripts/alignments, so the AM frame sampler skips them
@@ -532,12 +560,15 @@ def run_v5(
             f"alignment senone count {num_senones}"
         )
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
+    # AM pretraining runs without valid diagnostics, matching the
+    # reference (train_am.sh removes valid_diagnostic.scp)
     am_model, am_state = phonetic.train_am_model(
         feats_train, alignments, am_cfg, train_cfg, am_steps, mesh=mesh, log=log
     )
     model, state = phonetic.train_combined_model(
         feats_train, alignments, train_dataset, am_model, am_state, model_cfg,
         train_cfg, num_steps, am_lr_factor, mesh=mesh, log=log,
+        checkpoint_dir=checkpoint_dir, num_heldout_utts=num_heldout_utts,
     )
     # embedding-path receptive field from the model's Stream accounting
     # (max of xvec branch and pretrained-AM feed; see CombinedConfig)

@@ -154,14 +154,68 @@ def train_am_model(
     return model, state
 
 
+def _heldout_valid(features, alignments, dataset, cfg: TrainConfig,
+                   num_heldout_utts, am_context=None, frames_per_eg: int = 8):
+    """utt2uniq-aware held-out diagnostics for the phonetic trainers.
+
+    The reference's valid_diagnostic egs are HELD-OUT utterances split
+    off before dumping (`get_egs_xvec.sh:104-119`), never training
+    draws.  Splits the speaker dataset, removes the held-out utts from
+    the training features/alignments, and builds per-task valid batches
+    from the held-out side: one xvec chunk batch (global label map) and,
+    when ``am_context`` is given and held-out alignments exist, one AM
+    frame batch.
+
+    Returns (train_ds, train_features, train_alignments, valid_batches);
+    valid_batches is None when nothing could be held out (tiny corpus /
+    per-speaker minimums) — training then uses everything, as before.
+    """
+    from .pipeline import auto_heldout, heldout_split
+
+    alignments = alignments or {}
+    n = auto_heldout(dataset, num_heldout_utts)
+    if n <= 0:
+        return dataset, dict(features), dict(alignments), None
+    train_ds, valid_ds = heldout_split(dataset, n)
+    valid_utts = [u for u in valid_ds.utt_ids if u in features]
+    if not valid_utts:
+        return dataset, dict(features), dict(alignments), None
+    label_map = dataset.speaker_label_map()
+    train_feats = {u: features[u] for u in train_ds.utt_ids if u in features}
+    train_ali = {u: alignments[u] for u in train_ds.utt_ids if u in alignments}
+    vs = ChunkSampler(
+        {u: features[u] for u in valid_utts},
+        dataset.subset(valid_utts),
+        cfg.chunks,
+        min(cfg.batch_size, max(len(valid_utts), 2)),
+        cfg.seed + 1,
+        label_map=label_map,
+    )
+    valid_batches = [vs.sample_batch(vs.buckets[0])]
+    ali_utts = [u for u in valid_utts if u in alignments]
+    if am_context is not None and ali_utts:
+        fs = FrameSampler(
+            {u: features[u] for u in ali_utts},
+            {u: alignments[u] for u in ali_utts},
+            chunk_len=frames_per_eg,
+            batch_size=min(cfg.am_batch_size, 64),
+            seed=cfg.seed + 1,
+            context=am_context,
+        )
+        valid_batches.append(fs.sample_batch())
+    return train_ds, train_feats, train_ali, valid_batches
+
+
 def _multitask_iter(features, alignments, dataset, cfg: TrainConfig,
-                    am_context, num_steps, frames_per_eg: int = 8):
+                    am_context, num_steps, frames_per_eg: int = 8,
+                    label_map=None):
     am_sampler = FrameSampler(
         features, alignments, chunk_len=frames_per_eg,
         batch_size=cfg.am_batch_size, seed=cfg.seed, context=am_context,
     )
     xvec_sampler = ChunkSampler(features, dataset, cfg.chunks, cfg.batch_size,
-                                cfg.seed, block_size=cfg.steps_per_dispatch)
+                                cfg.seed, block_size=cfg.steps_per_dispatch,
+                                label_map=label_map)
     # Data-driven stream budget (get_egs_xvec.sh:126-143 semantics): the
     # am stream holds frames/frames_per_eg examples, the xvec stream
     # repeats_per_spk x speakers; both scale to the step budget and the
@@ -205,12 +259,18 @@ def train_multitask_model(
     mesh=None,
     log=None,
     checkpoint_dir=None,
+    num_heldout_utts=None,
 ):
     """v3: two-head training on interleaved single-task minibatches."""
     model = MultitaskCVector(model_cfg, dtype=train_cfg.compute_dtype)
     l, r = model_cfg.am_context
+    label_map = dataset.speaker_label_map()
+    train_ds, features, alignments, valid_batches = _heldout_valid(
+        features, alignments, dataset, train_cfg, num_heldout_utts, (l, r)
+    )
     am_sampler, xvec_sampler, interleaver = _multitask_iter(
-        features, alignments, dataset, train_cfg, (l, r), num_steps
+        features, alignments, train_ds, train_cfg, (l, r), num_steps,
+        label_map=label_map,
     )
     tx, _ = build_optimizer(train_cfg.optimizer, num_steps)
     probe = xvec_sampler.sample_batch(xvec_sampler.buckets[0])
@@ -228,14 +288,14 @@ def train_multitask_model(
         model, tx, {"am": {"task": "am"}, "xvec": {"task": "xvec"}}, train_cfg, mesh
     )
     calib = [xvec_sampler.sample_batch(b).feats for b in xvec_sampler.buckets[:3]]
-    # per-task held-out-style diagnostics (compute_cvector_train_cv_probabilities)
+    # per-task HELD-OUT diagnostics (compute_cvector_train_cv_probabilities:
+    # valid batches come from the held-out split, never the train samplers)
     from ..train.trainer import make_eval_step
 
-    valid_batches = [am_sampler.sample_batch(), xvec_sampler.sample_batch()]
     eval_steps = {
         "am": make_eval_step(model, task_kwargs={"task": "am"}),
         "xvec": make_eval_step(model, task_kwargs={"task": "xvec"}),
-    }
+    } if valid_batches else None
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
                    model_kwargs={"task": "both"}, log=log,
                    valid_batches=valid_batches, eval_steps=eval_steps,
@@ -255,12 +315,23 @@ def train_adapted_model(
     am_lr_factor: float = 0.2,
     mesh=None,
     log=None,
+    checkpoint_dir=None,
+    num_heldout_utts=None,
 ):
-    """v4: graft the pretrained AM, scale its LR, train on speaker chunks."""
+    """v4: graft the pretrained AM, scale its LR, train on speaker chunks.
+
+    Like the reference's train_raw_dnn path, training carries held-out
+    valid diagnostics and (with ``checkpoint_dir``) nnet3-combine-style
+    checkpoint-tail combination on the held-out objective."""
     model = AdaptedXVector(model_cfg, dtype=train_cfg.compute_dtype)
-    sampler = ChunkSampler(features, dataset, train_cfg.chunks,
+    label_map = dataset.speaker_label_map()
+    train_ds, features, _, valid_batches = _heldout_valid(
+        features, None, dataset, train_cfg, num_heldout_utts
+    )
+    sampler = ChunkSampler(features, train_ds, train_cfg.chunks,
                            train_cfg.batch_size, train_cfg.seed,
-                           block_size=train_cfg.steps_per_dispatch)
+                           block_size=train_cfg.steps_per_dispatch,
+                           label_map=label_map)
     tx, _ = build_optimizer(
         train_cfg.optimizer, num_steps, lr_factors={"am": am_lr_factor}
     )
@@ -273,12 +344,16 @@ def train_adapted_model(
     )
     state = state.replace(params=grafted["params"], batch_stats=grafted["batch_stats"])
     step = make_xvec_step(model, tx, mesh=mesh)
+    from ..train.trainer import make_eval_step
     from .pipeline import make_task_supersteps
 
     supersteps = make_task_supersteps(model, tx, {"xvec": {}}, train_cfg, mesh)
+    eval_steps = {"xvec": make_eval_step(model)} if valid_batches else None
     calib = [sampler.sample_batch(b).feats for b in sampler.buckets[:3]]
     state = _train(model, {"xvec": step}, state, iter(sampler), num_steps, calib,
-                   log=log, train_cfg=train_cfg, supersteps=supersteps, mesh=mesh)
+                   log=log, valid_batches=valid_batches, eval_steps=eval_steps,
+                   checkpoint_dir=checkpoint_dir, train_cfg=train_cfg,
+                   supersteps=supersteps, mesh=mesh)
     return model, state
 
 
@@ -295,13 +370,20 @@ def train_combined_model(
     mesh=None,
     log=None,
     checkpoint_dir=None,
+    num_heldout_utts=None,
 ):
     """v5: pretrained-AM graft + multitask two-head training."""
     model = CombinedCVector(model_cfg, dtype=train_cfg.compute_dtype)
+    label_map = dataset.speaker_label_map()
+    train_ds, features, alignments, valid_batches = _heldout_valid(
+        features, alignments, dataset, train_cfg, num_heldout_utts,
+        model_cfg.am_context,
+    )
     # am-task frame egs use the multitask AM head's receptive field,
     # derived from the model's Stream accounting (vars_am analog)
     am_sampler, xvec_sampler, interleaver = _multitask_iter(
-        features, alignments, dataset, train_cfg, model_cfg.am_context, num_steps
+        features, alignments, train_ds, train_cfg, model_cfg.am_context,
+        num_steps, label_map=label_map,
     )
     tx, _ = build_optimizer(
         train_cfg.optimizer, num_steps, lr_factors={"am": am_lr_factor}
@@ -327,11 +409,12 @@ def train_combined_model(
     supersteps = make_task_supersteps(
         model, tx, {"am": {"task": "am"}, "xvec": {"task": "xvec"}}, train_cfg, mesh
     )
-    valid_batches = [am_sampler.sample_batch(), xvec_sampler.sample_batch()]
+    # HELD-OUT per-task diagnostics (valid batches from the held-out
+    # split, never the train samplers)
     eval_steps = {
         "am": make_eval_step(model, task_kwargs={"task": "am"}),
         "xvec": make_eval_step(model, task_kwargs={"task": "xvec"}),
-    }
+    } if valid_batches else None
     calib = [xvec_sampler.sample_batch(b).feats for b in xvec_sampler.buckets[:3]]
     state = _train(model, steps, state, iter(interleaver), num_steps, calib,
                    model_kwargs={"task": "both"}, log=log,

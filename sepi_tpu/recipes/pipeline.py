@@ -76,6 +76,7 @@ def run_checkpointed(trainer, it, num_steps: int, train_cfg: TrainConfig,
     done = latest_checkpoint(checkpoint_dir) or 0
     if done:
         trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
+        trainer.steps_done = done  # logged steps stay global on resume
     remaining = num_steps - done
     prev_params = _jax.device_get(trainer.state.params) if log else None
     state = trainer.state
@@ -93,7 +94,13 @@ def run_checkpointed(trainer, it, num_steps: int, train_cfg: TrainConfig,
                 parameter_progress(prev_params, cur_params))
             prev_params = cur_params
     if combine_objf is not None:
-        state, _ = combine_checkpoints(state, checkpoint_dir, combine_objf)
+        last_objf = combine_objf(state)
+        state, best_objf = combine_checkpoints(state, checkpoint_dir, combine_objf)
+        if log:
+            # nnet3-combine summary: held-out objf of the last checkpoint
+            # vs the chosen checkpoint-tail combination
+            log(num_steps, "combine",
+                {"objf_last": float(last_objf), "objf_combined": float(best_objf)})
     return state
 
 
@@ -225,6 +232,16 @@ def prepare_features_phonetic(
     return PhoneticFeatures(full, voiced_out, nosil)
 
 
+def auto_heldout(dataset: Dataset, num_heldout_utts: Optional[int]) -> int:
+    """Resolve the held-out budget: None = auto (the reference ALWAYS
+    holds out diagnostics — get_egs_new.sh uses 1000 utts on ~100k-utt
+    corpora; scale that ~1% down to min 2 for tiny conformance corpora),
+    an int (including 0 = explicitly off) passes through."""
+    if num_heldout_utts is not None:
+        return num_heldout_utts
+    return min(1000, max(2, len(dataset) // 20))
+
+
 def heldout_split(
     dataset: Dataset, num_heldout_utts: int, min_per_spk: int = 2
 ) -> Tuple[Dataset, Dataset]:
@@ -261,16 +278,17 @@ def train_xvector_model(
     num_steps: int = 500,
     mesh=None,
     log=None,
-    num_heldout_utts: int = 0,
+    num_heldout_utts: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
 ):
     """Train a v2 x-vector on nosil features; returns (model, state, label_map).
 
-    With ``num_heldout_utts``, held-out utterances provide valid
-    diagnostics each eval period (the valid_diagnostic archives of the
-    reference); with ``checkpoint_dir``, periodic checkpoints are written
-    and the final model is the best checkpoint-tail combination scored on
-    the held-out objective (nnet3-combine semantics).
+    ``num_heldout_utts`` (default: auto, see ``auto_heldout``) holds out
+    utterances for valid diagnostics each eval period (the
+    valid_diagnostic archives of the reference; 0 disables); with
+    ``checkpoint_dir``, periodic checkpoints are written and the final
+    model is the best checkpoint-tail combination scored on the held-out
+    objective (nnet3-combine semantics).
     """
     from ..train.trainer import make_eval_step
 
@@ -282,20 +300,29 @@ def train_xvector_model(
 
     train_ds, valid_batches = dataset, None
     eval_steps = None
+    num_heldout_utts = auto_heldout(dataset, num_heldout_utts)
     if num_heldout_utts > 0:
         train_ds, valid_ds = heldout_split(dataset, num_heldout_utts)
-        # valid sampler shares the full label map via the parent dataset
-        valid_sampler = ChunkSampler(
-            {u: features[u] for u in valid_ds.utt_ids if u in features},
-            dataset.subset(valid_ds.utt_ids),
-            train_cfg.chunks,
-            min(train_cfg.batch_size, max(len(valid_ds), 2)),
-            train_cfg.seed + 1,
-        )
-        # fix labels to the global map
-        valid_sampler.label_map = label_map
-        valid_batches = [valid_sampler.sample_batch(l) for l in valid_sampler.buckets[:2]]
-        eval_steps = {"xvec": make_eval_step(model)}
+        valid_utts = [u for u in valid_ds.utt_ids if u in features]
+        if not valid_utts:
+            # nothing could be held out (tiny corpus / per-speaker
+            # minimums): train on everything, no valid diagnostics
+            train_ds = dataset
+        else:
+            # global label map at construction: the held-out subset may
+            # be missing speakers, so a subset-local map would mislabel
+            valid_sampler = ChunkSampler(
+                {u: features[u] for u in valid_utts},
+                dataset.subset(valid_utts),
+                train_cfg.chunks,
+                min(train_cfg.batch_size, max(len(valid_utts), 2)),
+                train_cfg.seed + 1,
+                label_map=label_map,
+            )
+            valid_batches = [
+                valid_sampler.sample_batch(l) for l in valid_sampler.buckets[:2]
+            ]
+            eval_steps = {"xvec": make_eval_step(model)}
 
     sampler = ChunkSampler(
         {u: features[u] for u in train_ds.utt_ids if u in features},
@@ -304,8 +331,8 @@ def train_xvector_model(
         train_cfg.batch_size,
         train_cfg.seed,
         block_size=train_cfg.steps_per_dispatch,
+        label_map=label_map,
     )
-    sampler.label_map = label_map
     tx, _ = build_optimizer(train_cfg.optimizer, num_steps)
     probe = sampler.sample_batch(sampler.buckets[0])
     state = create_train_state(model, tx, jax.random.PRNGKey(train_cfg.seed), probe.feats)

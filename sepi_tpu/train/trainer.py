@@ -287,6 +287,9 @@ class Trainer:
     # Mesh for input shardings when staging (batch axis over 'data');
     # None stages to the default device.
     mesh: Optional[Any] = None
+    # Total steps completed across run() calls (advanced automatically;
+    # set when resuming from a checkpoint so logged steps stay global).
+    steps_done: int = 0
 
     def _run_valid(self, n: int):
         if not self.valid_batches or not self.eval_steps:
@@ -427,6 +430,10 @@ class Trainer:
 
     def run(self, batch_iter: Iterable, num_steps: Optional[int] = None) -> TrainState:
         n = 0
+        # steps completed by previous run() calls (segmented
+        # run_checkpointed training): logged step numbers stay global so
+        # the metrics.jsonl series is monotone across segments
+        base = self.steps_done
 
         def crossed(prev: int, cur: int, every: int) -> bool:
             return prev // every != cur // every
@@ -452,14 +459,14 @@ class Trainer:
                         bad = int(np.argmax(~np.isfinite(np.ravel(objf))))
                         raise RuntimeError(
                             f"training diverged: non-finite objective "
-                            f"inside superstep dispatch ending at step {n} "
-                            f"(task {task}, scan step {bad + 1}/{k})"
+                            f"inside superstep dispatch ending at step "
+                            f"{base + n} (task {task}, scan step {bad + 1}/{k})"
                         )
                     rec = {m: float(np.ravel(v)[-1]) for m, v in vals.items()}
                     rec.update({
                         f"{m}_mean": float(v.mean()) for m, v in vals.items()
                     })
-                    self._record(n, task, rec)
+                    self._record(base + n, task, rec)
             else:
                 self.state, metrics = self.steps[task](
                     self.state, feats, labels, weight
@@ -467,9 +474,10 @@ class Trainer:
                 prev, n = n, n + 1
                 last = num_steps is not None and n >= num_steps
                 if n % self.log_every == 0 or last:
-                    self._record(n, task, metrics)
+                    self._record(base + n, task, metrics)
             if crossed(prev, n, self.eval_every) or last:
-                self._run_valid(n)
+                self._run_valid(base + n)
             if num_steps is not None and n >= num_steps:
                 break
+        self.steps_done = base + n
         return self.state

@@ -220,6 +220,63 @@ def test_run_v3_augmented_speaker_stream(tmp_path, corpus, pseudo_ali, rng):
     assert sum(1 for line in scp.splitlines() if "-noise" in line) == 10
 
 
+def test_drivers_run_heldout_diagnostics_and_combine(tmp_path, corpus, pseudo_ali):
+    """The reference NEVER trains blind: every driver defaults to a
+    utt2uniq-aware held-out split with periodic valid objf logging
+    (nnet3-compute-prob, `frame_level_objf/common.py:763-826`),
+    checkpointing, and a final checkpoint-tail combination on the
+    held-out objective (nnet3-combine).  Pins: (a) metrics.jsonl carries
+    a valid:xvec series at globally monotone steps, (b) the checkpoint
+    dir is populated, (c) a combine record compares last-checkpoint vs
+    combined held-out objf — v2 and the multitask v3 path (whose valid
+    batches must come from held-out utts, incl. a valid:am series)."""
+    import json
+    import os
+
+    def read_metrics(wd):
+        return [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+
+    enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
+    wd2 = str(tmp_path / "v2")
+    run_v2(
+        corpus.dataset, corpus.audio, corpus.dataset, {}, corpus.trials, enroll,
+        workdir=wd2,
+        model_cfg=XVectorConfig(feat_dim=23, num_speakers=6,
+                                frame_specs=TINY_SPECS, embed_dim=32),
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=220,
+    )
+    recs = read_metrics(wd2)
+    valid = [r for r in recs if r["task"] == "valid:xvec"]
+    assert len(valid) >= 2 and all(np.isfinite(r["objf"]) for r in valid)
+    steps = [r["step"] for r in valid]
+    assert steps == sorted(steps) and steps[-1] > TRAIN_CFG.checkpoint_every, (
+        "valid step numbering must stay global across checkpoint segments"
+    )
+    assert os.listdir(os.path.join(wd2, "ckpt"))
+    combine = [r for r in recs if r["task"] == "combine"]
+    assert len(combine) == 1
+    assert combine[0]["objf_combined"] >= combine[0]["objf_last"] - 1e-9, (
+        "combination must never return a worse held-out objf than the "
+        "last checkpoint (the tail search includes K=1)"
+    )
+
+    wd3 = str(tmp_path / "v3")
+    cfg = MultitaskConfig(
+        num_speakers=6, num_senones=10, embed_dim=32, hidden_dim=24, pool_dim=48
+    )
+    run_v3(
+        corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
+        workdir=wd3, model_cfg=cfg, alignments=pseudo_ali,
+        train_cfg=TRAIN_CFG, extract_cfg=EXTRACT_CFG, num_steps=140,
+    )
+    recs3 = read_metrics(wd3)
+    assert [r for r in recs3 if r["task"] == "valid:xvec"]
+    assert [r for r in recs3 if r["task"] == "valid:am"], (
+        "multitask valid diagnostics must cover the AM head too"
+    )
+    assert [r for r in recs3 if r["task"] == "combine"]
+
+
 def test_audio_fingerprint_busts_stale_feature_cache(rng):
     """Feature caches key on audio CONTENT: identical utt ids with
     different samples (e.g. new augmentation pools) must produce a
