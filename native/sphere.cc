@@ -17,8 +17,11 @@
 // commands DIFF0-3/QLPC/ZERO/BLOCKSIZE/BITSHIFT/VERBATIM/QUIT, rolling
 // block means (nmean) and per-block residual sizes.  Conformance is
 // pinned by round-trip tests against an independently written Python
-// encoder of the same spec (tests/test_sphere.py); see the caveat
-// there about corners (bitshift!=0) no synthetic fixture can fully pin.
+// encoder of the same spec (tests/test_sphere.py): every command and
+// state transition, the bitshift x nmean interplay (v1 and v2,
+// mid-stream shift changes), wide residuals, verbatim chunks, and a
+// randomized property fuzz; corrupt/truncated streams must fail with
+// SPH_E_SHORTEN/SPH_E_TRUNCATED, never crash (also fuzzed).
 //
 // C ABI (ctypes-consumed by sepi_tpu/utils/sphere.py):
 //   sph_info(path, &rate, &channels, &samples, coding, cap) -> 0/err
