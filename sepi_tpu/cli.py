@@ -189,11 +189,49 @@ def prep_asr_main(argv) -> int:
     return 0
 
 
+def gauntlet_main(argv) -> int:
+    """`python -m sepi_tpu gauntlet`: the non-degenerate parity run —
+    v1-v5 at matched budgets on the calibrated disjoint-speaker
+    synthetic corpus, plus the PLDA-adaptation and augmentation
+    ablations.  The corpus-free analog of the reference's SRE10/SRE16
+    acceptance protocol (`v2/run_sre10.sh:239-334`); see
+    recipes/gauntlet.py."""
+    p = argparse.ArgumentParser(prog="sepi_tpu gauntlet",
+                                description=gauntlet_main.__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--scale", choices=["ci", "hw"], default="ci",
+                   help="'ci' = CPU-sized calibration point; 'hw' = "
+                        "full-size v2 graph + larger populations (run on "
+                        "the chip)")
+    p.add_argument("--variants", default="v1,v2,v3,v4,v5")
+    p.add_argument("--ablations", action="store_true",
+                   help="also run the adaptation + augmentation ablations")
+    args = p.parse_args(argv)
+    from .recipes.gauntlet import (
+        CI_SCALE, HW_SCALE, format_table,
+        run_adaptation_ablation, run_augmentation_ablation, run_gauntlet,
+    )
+
+    scale = CI_SCALE if args.scale == "ci" else HW_SCALE
+    results = run_gauntlet(args.workdir, scale,
+                           variants=tuple(args.variants.split(",")))
+    print(format_table(results), flush=True)
+    if args.ablations:
+        pl, ad = run_adaptation_ablation(args.workdir, scale)
+        print(f"adaptation: plain {pl*100:.2f}% -> adapted {ad*100:.2f}%")
+        pl, au = run_augmentation_ablation(args.workdir, scale)
+        print(f"augmentation: clean-train {pl*100:.2f}% -> augmented "
+              f"{au*100:.2f}%")
+    return 0
+
+
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "prep-asr":
         return prep_asr_main(argv[1:])
+    if argv and argv[0] == "gauntlet":
+        return gauntlet_main(argv[1:])
     args = build_parser().parse_args(argv)
     from .config import AlignConfig, ChunkConfig, OptimizerConfig, TrainConfig
     from .data.manifest import load_trials

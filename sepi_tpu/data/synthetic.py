@@ -93,9 +93,11 @@ def _phone_filter(freqs, bws, sample_rate: int) -> np.ndarray:
 
 def _channel_filter(rng: np.random.Generator, strength: float) -> np.ndarray:
     """Random smooth 16-tap 'handset' FIR mixed with identity at
-    ``strength`` — per-utterance channel/session variability.  Distinct
-    ``rng`` streams give distinct channel FAMILIES (domain shift for the
-    PLDA-adaptation gauntlet)."""
+    ``strength``.  A channel FAMILY (one ``channel_seed``) is one fixed
+    base filter drawn from this plus per-utterance jitter — the
+    systematic component is what makes two families a real DOMAIN shift
+    (an i.i.d. per-utterance filter alone is the same distribution under
+    any seed and gives adaptation nothing to correct)."""
     g = rng.standard_normal(16).astype(np.float32)
     # smooth: 3-tap moving average twice, then normalize
     for _ in range(2):
@@ -162,6 +164,12 @@ def make_phonetic_corpus(
         seed + 7919 if channel_seed is None else channel_seed
     )
     phone_rng = rng if phone_seed is None else np.random.default_rng(phone_seed)
+    # The channel family's SYSTEMATIC component: one base filter per
+    # corpus (per channel_seed); utterances add jitter at 1/3 strength.
+    chan_base = (
+        _channel_filter(chan_rng, channel_strength)
+        if channel_strength > 0.0 else None
+    )
     # Phone inventory: distinct formant pairs spread over the band.
     phone_names = ["aa", "ee", "oo", "kk", "ss", "tt", "mm", "rr"]
     filters = {}
@@ -220,10 +228,12 @@ def make_phonetic_corpus(
                     segs.append(sil_seg())
             segs.append(sil_seg())
             x = np.concatenate(segs)
-            if channel_strength > 0.0:
-                x = np.convolve(
-                    x, _channel_filter(chan_rng, channel_strength), mode="same"
-                ).astype(np.float32)
+            if chan_base is not None:
+                h_utt = np.convolve(
+                    chan_base,
+                    _channel_filter(chan_rng, channel_strength / 3.0),
+                )
+                x = np.convolve(x, h_utt, mode="same").astype(np.float32)
             if noise_snr_db is not None:
                 snr = float(rng.uniform(*noise_snr_db))
                 sig_p = float(np.mean(np.square(x))) + 1e-12

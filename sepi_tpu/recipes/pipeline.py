@@ -420,32 +420,46 @@ def backend_eval(
     lda_dim = min(backend_cfg.lda_dim, x_train.shape[1] - 1, len(set(labels)) - 1)
     lda = compute_lda(centered, labels, lda_dim)
 
-    def project(vecs: np.ndarray) -> np.ndarray:
-        c = np.asarray(vecs, np.float64) - global_mean
+    def project(vecs: np.ndarray, mean: np.ndarray = global_mean) -> np.ndarray:
+        c = np.asarray(vecs, np.float64) - mean
         p = lda(c + lda.mean)  # lda centers internally with its own mean
         return length_normalize(p) if backend_cfg.length_norm else p
 
     plda = train_plda(project(x_train), labels, backend_cfg.plda_iters)
+    # Reference SRE16 mean handling (`v2/run_sre16.sh:96-110`): the
+    # adaptation set centers by its OWN mean before LDA/length-norm for
+    # ivector-adapt-plda, and eval scoring then centers enroll/test with
+    # that IN-DOMAIN mean (mean.vec of sre16_major) — the mean-shift
+    # correction is part of the adaptation, not just the covariance
+    # interpolation.
+    scoring_mean = global_mean
     if adapt_vectors is not None:
-        plda = dataclasses.replace(plda)  # copy
         from ..backend import adapt_plda
 
+        adapt_mean = np.mean(np.asarray(adapt_vectors, np.float64), axis=0)
         plda = adapt_plda(
             plda,
-            project(adapt_vectors),
+            project(adapt_vectors, mean=adapt_mean),
             backend_cfg.adapt_within_covar_scale,
             backend_cfg.adapt_between_covar_scale,
         )
+        scoring_mean = adapt_mean
 
     enroll_vecs: Dict[str, np.ndarray] = {}
     num_utts: Dict[str, int] = {}
     for spk, utts in enroll_spk2utt.items():
-        vecs = [project(utt_embeddings[u][None])[0] for u in utts if u in utt_embeddings]
+        vecs = [utt_embeddings[u] for u in utts if u in utt_embeddings]
         if vecs:
-            enroll_vecs[spk] = np.mean(vecs, axis=0)
+            # speaker mean in RAW embedding space, then the scoring
+            # pipeline (`ivector-mean | subtract-global-mean | transform
+            # | normalize-length`, run_sre16.sh:109) — projecting before
+            # averaging would re-order the length-norm nonlinearity
+            enroll_vecs[spk] = project(
+                np.mean(vecs, axis=0)[None], mean=scoring_mean
+            )[0]
             num_utts[spk] = len(vecs)
     test_vecs = {
-        t.test: project(utt_embeddings[t.test][None])[0]
+        t.test: project(utt_embeddings[t.test][None], mean=scoring_mean)[0]
         for t in trials
         if t.test in utt_embeddings
     }

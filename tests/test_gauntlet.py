@@ -1,0 +1,108 @@
+"""The non-degenerate parity gauntlet (VERDICT r2 item 1): the paper's
+acceptance orderings on a calibrated disjoint-speaker synthetic corpus.
+
+These pins are the framework's CI substitute for the reference's
+SRE10/SRE16 protocol (`v2/run_sre10.sh:239-334`):
+  - v2 lands at a MEASURABLE EER (a corpus where every system scores
+    0.00% cannot rank systems or detect a broken backend);
+  - every phonetic variant (v3 multitask, v4 adaptation, v5 combined)
+    beats the v2 x-vector baseline — the Interspeech 2018 claim;
+  - PLDA domain adaptation improves the channel-shifted eval (SRE16);
+  - augmentation improves a clean-trained system on noisy eval (SRE10
+    stage 2).
+
+Calibration notes: CI_SCALE is the calibrated operating point (60/24/12
+disjoint speakers, 2-3-word utterances, speaker_strength 0.55,
+channel-family shift, am_steps == steps) — hermetic-CPU reference
+values v2 16.2%, v3 13.9%, v4 12.1%, v5 8.3% EER.  Assertions use
+margins, not exact values, so
+legitimate training improvements don't flip them; if the corpus or
+trainer changes enough to break one, recalibrate deliberately (see
+recipes/gauntlet.py docstring), never by loosening a margin in passing.
+"""
+
+import dataclasses
+
+import pytest
+
+from sepi_tpu.recipes.gauntlet import (
+    ADAPT_SCALE,
+    CI_SCALE,
+    HW_SCALE,
+    format_table,
+    make_gauntlet_data,
+    run_adaptation_ablation,
+    run_augmentation_ablation,
+    run_gauntlet,
+)
+
+
+def test_gauntlet_data_is_nondegenerate():
+    data = make_gauntlet_data(CI_SCALE)
+    # disjoint populations
+    trn = set(data.train.dataset.speakers)
+    evl = set(data.eval.dataset.speakers)
+    adp = set(data.adapt.dataset.speakers)
+    assert not (trn & evl) and not (trn & adp) and not (evl & adp)
+    # trials only test non-enrolled eval utts, both classes present
+    enrolled = {u for us in data.enroll_spk2utt.values() for u in us}
+    assert all(t.test not in enrolled for t in data.trials)
+    n_tgt = sum(t.target for t in data.trials)
+    assert n_tgt >= 100 and len(data.trials) - n_tgt >= 1000, (
+        "trial counts must give ~1% EER resolution"
+    )
+
+
+def test_gauntlet_phonetic_variants_beat_xvector(tmp_path):
+    """The paper's ordering at matched speaker-stream budgets."""
+    results = run_gauntlet(str(tmp_path), CI_SCALE,
+                           variants=("v2", "v3", "v4", "v5"))
+    print(format_table(results))
+    eer = {k: r.pooled.eer for k, r in results.items()}
+    # non-degenerate operating point: measurable, far from chance
+    assert 0.05 < eer["v2"] < 0.30, f"v2 out of calibrated window: {eer}"
+    # the Interspeech claim: every phonetic variant <= the baseline
+    assert eer["v3"] <= eer["v2"], f"multitask must help: {eer}"
+    assert eer["v4"] <= eer["v2"], f"adaptation must help: {eer}"
+    assert eer["v5"] <= eer["v2"], f"combined must help: {eer}"
+    # and the combined system helps by a real margin, not a tie
+    assert eer["v5"] <= eer["v2"] - 0.02, f"v5 margin collapsed: {eer}"
+
+
+def test_gauntlet_v1_ivector_runs_at_measurable_eer(tmp_path):
+    results = run_gauntlet(str(tmp_path), CI_SCALE, variants=("v1",))
+    eer = results["v1"].pooled.eer
+    assert 0.0 < eer < 0.45, f"i-vector should be measurable, got {eer}"
+
+
+def test_gauntlet_plda_adaptation_helps_shifted_domain(tmp_path):
+    """Full reference-semantics adaptation (in-domain mean re-centering
+    + 0.75/0.25 covariance interpolation, `v2/run_sre16.sh:96-110`) on a
+    noise-level + channel-family shifted eval.  ADAPT_SCALE carries 120
+    PLDA training speakers — see its comment for why covariance
+    adaptation needs a well-estimated between-class covariance."""
+    plain, adapted = run_adaptation_ablation(str(tmp_path), ADAPT_SCALE)
+    assert adapted < plain, (
+        f"PLDA adaptation must improve the shifted domain: "
+        f"{plain:.4f} -> {adapted:.4f}"
+    )
+
+
+def test_gauntlet_augmentation_helps_noisy_eval(tmp_path):
+    plain, aug = run_augmentation_ablation(str(tmp_path), CI_SCALE)
+    assert aug < plain, (
+        f"augmentation must improve clean-train/noisy-eval: "
+        f"{plain:.4f} -> {aug:.4f}"
+    )
+
+
+def test_hw_scale_is_fullsize():
+    """HW_SCALE must carry the reference's full-size v2 graph dims
+    (run_xvector_new.sh:90-115) so the hardware gauntlet is honest."""
+    specs = HW_SCALE.frame_specs()
+    assert [s.dim for s in specs] == [512, 512, 512, 512, 1500]
+    assert HW_SCALE.embed_dim == 512
+    assert HW_SCALE.num_train_speakers > 2 * CI_SCALE.num_train_speakers
+    # budget-parity invariant: interleaved budget is exactly 2x
+    assert HW_SCALE.mt_steps == 2 * HW_SCALE.steps
+    assert dataclasses.asdict(HW_SCALE)  # cache-keyable
