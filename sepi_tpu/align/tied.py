@@ -344,6 +344,7 @@ def refine_tied_aligner(
     seed: int = 0,
     batched: bool = True,
     use_pallas: Optional[bool] = None,
+    init_alignments: Optional[Mapping[str, np.ndarray]] = None,
 ) -> RefineResult:
     """Viterbi-EM refinement at senone granularity (the tri-pass analog).
 
@@ -352,12 +353,18 @@ def refine_tied_aligner(
     re-estimates per-senone GMM emissions from the tied alignment and
     re-aligns with tied-pdf context graphs, iterating ``num_iters``
     rounds.  fMLLR speaker transforms are available on top via
-    align.fmllr / run_s5(cfg.fmllr=True) (`steps/align_fmllr.sh`)."""
+    align.fmllr / run_s5(cfg.fmllr=True) (`steps/align_fmllr.sh`).
+
+    ``init_alignments`` bootstraps EM from given senone labels instead
+    of re-aligning with the (raw-feature-space) mono front — required
+    when ``features`` live in a transformed space (LDA+MLLT) the mono
+    GMMs were never trained in."""
     from .mono import _estimate_from_alignment, align_graphs
 
     rng = np.random.default_rng(seed)
     spp = tied.mono.states_per_phone
-    ali = tied.senone_alignments(features, transcripts, batched=batched)
+    ali = (dict(init_alignments) if init_alignments is not None
+           else tied.senone_alignments(features, transcripts, batched=batched))
     graphs = {
         u: context_graph(tied.lexicon, transcripts[u], tied.tree, spp)
         for u in features

@@ -297,6 +297,15 @@ class AlignConfig:
     states_per_phone: int = 3
     comps_per_senone: int = 2
     seed: int = 0
+    # LDA+MLLT feature-space stage (steps/train_lda_mllt.sh, the tri3b
+    # rung: est-lda over spliced ±context frames + est-mllt/STC rounds
+    # interleaved with tied-tree re-alignment; s5/run.sh:130-140).
+    # Opt-in; the tied tree is reused across the transform (documented
+    # deviation: Kaldi rebuilds the tree for tri3b).
+    lda_mllt: bool = False
+    lda_mllt_dim: int = 40
+    splice_context: int = 3
+    mllt_iters: int = 2
     # Speaker-adaptive pass (steps/align_fmllr.sh): estimate per-speaker
     # fMLLR transforms from the refined alignment and re-align on
     # transformed features.  Needs utt2spk at the run_s5 call site.
