@@ -74,7 +74,10 @@ def bench_extraction(rng):
     sr = 8000
     batch, secs = 16, 100.0  # 16 x 100 s utterances per step
     n_samples = int(sr * secs)
-    fcfg = FrontendConfig(dither=0.0)
+    # The honest production config: Kaldi-default dither=1.0, drawn
+    # in-kernel by the fused Pallas MFCC (counter-hash RNG) — what the
+    # drivers now run, not the dither-free fast case.
+    fcfg = FrontendConfig()
     fe = FeatureExtractor(fcfg)
     t_max = int(num_frames(n_samples, fcfg))
     vcfg, ccfg = VadConfig(), CmvnConfig()
@@ -83,10 +86,11 @@ def bench_extraction(rng):
     model = XVector(cfg)
     probe = jnp.zeros((1, 200, 23), jnp.float32)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), probe, train=False))()
+    dither_key = jax.random.PRNGKey(0)
 
     @jax.jit
     def extract(variables, samples, lengths):
-        feats, mask = fe._mfcc_impl(samples, lengths, t_max, None)
+        feats, mask = fe._mfcc_impl(samples, lengths, t_max, dither_key)
         voiced = energy_vad(feats[..., 0], mask, vcfg)
         normed = sliding_cmvn(feats, mask, ccfg)
         sel, sel_mask = select_voiced_frames(normed, voiced)

@@ -150,9 +150,9 @@ class FeatureExtractor:
         feats, mask = fe.mfcc(samples, lengths, key)   # (B, T, num_ceps)
 
     ``spectral_mode``:
-    - 'auto' (default): on TPU, dither-free raw-energy MFCC runs as ONE
-      fused Pallas kernel (framing+DFT+mel+DCT in VMEM, no frames
-      tensor in HBM — mfcc_pallas.py); everything else uses 'slices'.
+    - 'auto' (default): on TPU, raw-energy MFCC (dithered or not) runs
+      as ONE fused Pallas kernel (framing+DFT+mel+DCT in VMEM, no
+      frames tensor in HBM — mfcc_pallas.py); the rest uses 'slices'.
     - 'slices': the block-row-slices + GEMM fused path (pure XLA).
     - 'conv': framing+DFT as ONE strided convolution (no frames tensor
       materialized) — measured 2.5x SLOWER on v5e (13.9 vs 5.45 ms on
@@ -291,14 +291,17 @@ class FeatureExtractor:
     @partial(jax.jit, static_argnames=("self", "max_frames"))
     def _mfcc_impl(self, samples, lengths, max_frames, key):
         cfg = self.cfg
-        if (key is None or cfg.dither == 0.0) and self.spectral_mode in (
-                "auto", "pallas"):
+        if self.spectral_mode in ("auto", "pallas"):
             from .mfcc_pallas import mfcc_fused, supported
 
             on_tpu = jax.default_backend() == "tpu"
             if supported(cfg) and (on_tpu or self.spectral_mode == "pallas"):
-                return mfcc_fused(samples, lengths, cfg, max_frames,
-                                  interpret=not on_tpu)
+                # the fused kernel covers dithered configs too (in-kernel
+                # counter-hash RNG, Kaldi per-frame Gaussian dither)
+                return mfcc_fused(
+                    samples, lengths, cfg, max_frames, interpret=not on_tpu,
+                    key=key if cfg.dither != 0.0 else None,
+                )
         log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
         ceps = jnp.dot(log_mel, self._dct, preferred_element_type=jnp.float32)
         ceps = ceps * self._lifter

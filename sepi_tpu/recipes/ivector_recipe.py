@@ -44,7 +44,7 @@ from ..ops import FeatureExtractor, add_deltas
 
 def prepare_features_ivector(
     audio: Mapping[str, np.ndarray],
-    frontend: FrontendConfig = MFCC_SRE_IVECTOR.replace(dither=0.0),
+    frontend: FrontendConfig = MFCC_SRE_IVECTOR,
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     delta_order: int = 2,

@@ -53,29 +53,41 @@ NNET2_OPTIMIZER = OptimizerConfig(
 
 def prepare_paired_features(
     audio: Mapping[str, np.ndarray],
-    sid_frontend: FrontendConfig = MFCC_SRE_IVECTOR.replace(dither=0.0),
-    hires_frontend: FrontendConfig = MFCC_HIRES.replace(dither=0.0),
+    sid_frontend: FrontendConfig = MFCC_SRE_IVECTOR,
+    hires_frontend: FrontendConfig = MFCC_HIRES,
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     delta_order: int = 2,
+    key=None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """(sid_feats, hires_feats): same framing, one VAD, two streams.
 
     The VAD decision comes from the sid stream's C0 energy (the hires
     config drops energy), exactly as the reference computes one vad.scp
-    and `select-voiced-frames` both pipelines with it."""
+    and `select-voiced-frames` both pipelines with it.  Dither (the
+    Kaldi default) draws independently per stream — the reference's two
+    compute-mfcc-feats passes dither independently too; the paired
+    contract is framing/mask alignment, not shared noise.  A fixed
+    default key keeps prep deterministic per (audio, config)."""
     if (sid_frontend.frame_shift != hires_frontend.frame_shift
             or sid_frontend.frame_length != hires_frontend.frame_length
             or sid_frontend.snip_edges != hires_frontend.snip_edges):
         raise ValueError("paired streams need identical framing")
+    dithered = sid_frontend.dither != 0.0 or hires_frontend.dither != 0.0
+    if key is None and dithered:
+        key = jax.random.PRNGKey(0)
     fe_sid = FeatureExtractor(sid_frontend)
     fe_hires = FeatureExtractor(hires_frontend)
     sid_out: Dict[str, np.ndarray] = {}
     hires_out: Dict[str, np.ndarray] = {}
-    for utt_id, samples in audio.items():
+    for i, (utt_id, samples) in enumerate(audio.items()):
         n = np.array(len(samples))
-        f_sid, mask = fe_sid.mfcc(samples, n)
-        f_hires, mask_h = fe_hires.mfcc(samples, n)
+        k_s = k_h = None
+        if key is not None:
+            k_u = jax.random.fold_in(key, i)
+            k_s, k_h = jax.random.split(k_u)
+        f_sid, mask = fe_sid.mfcc(samples, n, key=k_s)
+        f_hires, mask_h = fe_hires.mfcc(samples, n, key=k_h)
         voiced = energy_vad(f_sid[:, 0], mask, vad)
         sid_d = add_deltas(f_sid, mask, order=delta_order)
         sid_n = sliding_cmvn(sid_d, mask, cmvn)

@@ -140,7 +140,16 @@ def _frontend_batches(
 
     Yields (utt_ids, feats (B,T,D), voiced (B,T), num_frames (B,)) as
     host arrays.
+
+    Dither: when the frontend config asks for dither (the Kaldi default,
+    MfccOptions dither=1.0) and no key is given, a fixed PRNGKey(0) is
+    derived — the analog of compute-mfcc-feats' srand(seed) default, so
+    corpus feature prep stays deterministic per (audio, config) and the
+    content-keyed ArtifactCache stays coherent.  Each batch folds its
+    index into the key so noise is independent across batches.
     """
+    if key is None and fe.cfg.dither != 0.0:
+        key = jax.random.PRNGKey(0)
     items = sorted(audio.items(), key=lambda kv: (len(kv[1]), kv[0]))
     for i in range(0, len(items), batch_size):
         chunk = items[i : i + batch_size]
@@ -150,7 +159,8 @@ def _frontend_batches(
         for b, (_, x) in enumerate(chunk):
             samples[b, : len(x)] = x
             lengths[b] = len(x)
-        feats, mask = fe.mfcc(samples, lengths, key=key)
+        k = None if key is None else jax.random.fold_in(key, i)
+        feats, mask = fe.mfcc(samples, lengths, key=k)
         voiced = energy_vad(feats[..., 0], mask, vad)
         if transform is not None:
             feats = transform(feats, mask)
@@ -165,7 +175,7 @@ def _frontend_batches(
 
 def prepare_features_nosil(
     audio: Mapping[str, np.ndarray],
-    frontend: FrontendConfig = FrontendConfig(dither=0.0),
+    frontend: FrontendConfig = FrontendConfig(),
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     key: Optional[jax.Array] = None,
@@ -203,7 +213,7 @@ class PhoneticFeatures:
 
 def prepare_features_phonetic(
     audio: Mapping[str, np.ndarray],
-    frontend: FrontendConfig = FrontendConfig(dither=0.0),
+    frontend: FrontendConfig = FrontendConfig(),
     vad: VadConfig = VadConfig(),
     cmvn: CmvnConfig = CmvnConfig(),
     key: Optional[jax.Array] = None,

@@ -284,8 +284,10 @@ def test_batched_feature_prep_matches_per_utterance(rng):
     from sepi_tpu.ops import add_deltas
     from sepi_tpu.recipes.ivector_recipe import MFCC_SRE_IVECTOR, prepare_features_ivector
 
+    # dither off for exact parity: the batched path folds the batch index
+    # into the dither key, so per-utterance equality only holds noise-free
     ivcfg = MFCC_SRE_IVECTOR.replace(dither=0.0)
-    iv_batched = prepare_features_ivector(audio, batch_size=3)
+    iv_batched = prepare_features_ivector(audio, frontend=ivcfg, batch_size=3)
     fe_iv = FeatureExtractor(ivcfg)
     for utt_id, samples in audio.items():
         feats, mask = fe_iv.mfcc(samples, np.array(len(samples)))

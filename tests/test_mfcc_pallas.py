@@ -75,3 +75,90 @@ def test_unsupported_geometries_fall_back():
     # 9.125 ms shift at 8 kHz -> 73 samples: gcd(200, 73) = 1
     assert not supported(FrontendConfig(dither=0.0, frame_shift_ms=9.125))
     assert not supported(FrontendConfig(dither=0.0, raw_energy=False))
+
+
+class TestDither:
+    """The in-kernel counter-hash dither (Kaldi MfccOptions default
+    dither=1.0).  The kernel's stream differs from the stepwise XLA
+    stream, so parity is statistical: the dither-induced perturbation of
+    the cepstra must match the stepwise path's in scale, the noise must
+    be deterministic per key, and masked frames must stay zero."""
+
+    cfg = FrontendConfig(dither=1.0)
+    cfg0 = FrontendConfig(dither=0.0)
+
+    def _run(self, key=None):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(77)
+        b, n = 3, 2 * 8000
+        samples = (rng.normal(size=(b, n)) * 3000).astype(np.float32)
+        lengths = np.array([n, n - 777, 8000], np.int32)
+        tmax = int(num_frames(n, self.cfg))
+        out, mask = mfcc_fused(
+            jnp.asarray(samples), jnp.asarray(lengths), self.cfg, tmax,
+            interpret=True, key=key,
+        )
+        return samples, lengths, tmax, np.asarray(out), np.asarray(mask)
+
+    def test_supported_and_gated_by_key(self):
+        import jax.numpy as jnp
+
+        assert supported(self.cfg)  # dither no longer disqualifies
+        # key=None => bit-identical to the dither-free kernel
+        s, l, tmax, out_none, _ = self._run(key=None)
+        clean, _ = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg0, tmax,
+                              interpret=True)
+        assert np.array_equal(out_none, np.asarray(clean))
+
+    def test_statistics_match_stepwise_path(self):
+        import jax
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(42)
+        s, l, tmax, out, mask = self._run(key=key)
+        clean, _ = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg0, tmax,
+                              interpret=True)
+        d = out - np.asarray(clean)
+        assert np.abs(d[~mask]).max() == 0.0  # masked frames stay zero
+        # stepwise (XLA per-frame normal) perturbation as the scale oracle
+        fe = FeatureExtractor(self.cfg, spectral_mode="slices")
+        step, _ = fe._mfcc_impl(jnp.asarray(s), jnp.asarray(l), tmax, key)
+        ds = np.asarray(step) - np.asarray(clean)
+        scale_k = np.abs(d[mask]).mean()
+        scale_s = np.abs(ds[mask]).mean()
+        assert scale_k > 0.0
+        assert 0.8 < scale_k / scale_s < 1.25, (scale_k, scale_s)
+
+    def test_deterministic_per_key(self):
+        import jax
+
+        _, _, _, out_a, _ = self._run(key=jax.random.PRNGKey(1))
+        _, _, _, out_a2, _ = self._run(key=jax.random.PRNGKey(1))
+        _, _, _, out_b, _ = self._run(key=jax.random.PRNGKey(2))
+        assert np.array_equal(out_a, out_a2)
+        assert not np.array_equal(out_a, out_b)
+
+    def test_hash_uniforms_are_gaussian_after_boxmuller(self):
+        """Distribution check on the raw in-kernel stream: dither deltas
+        on a pure-DC signal isolate the noise; its frame energies must
+        track chi-square expectations (catches a broken mixer that,
+        e.g., returns constants or correlated draws)."""
+        import jax
+        import jax.numpy as jnp
+
+        n = 8000
+        # digital silence: the dither IS the signal, so frame log-energy
+        # log(sum z^2 - (sum z)^2/flen) ~ log(dither^2 * chi2(flen-1))
+        s = np.zeros((2, n), np.float32)
+        l = np.array([n, n], np.int32)
+        tmax = int(num_frames(n, self.cfg))
+        out, mask = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg, tmax,
+                               interpret=True, key=jax.random.PRNGKey(3))
+        flen = self.cfg.frame_length
+        log_e = np.asarray(out)[..., 0][np.asarray(mask)]
+        # E[chi2(flen-1)] = flen-1; log of it concentrates hard for flen=200
+        expected = np.log(flen - 1)
+        assert abs(np.mean(log_e) - expected) < 0.05, (np.mean(log_e), expected)
+        assert np.std(log_e) < 0.2
