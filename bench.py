@@ -226,13 +226,23 @@ def bench_plda_scoring(rng, extra):
     models = jnp.asarray(rng.normal(size=(n_models, dim)).astype(np.float32))
     tests = jnp.asarray(rng.normal(size=(n_tests, dim)).astype(np.float32))
 
-    fn = jax.jit(lambda m, t: plda_score_matrix_device(model, m, t))
-    np.asarray(fn(models, tests))  # compile+warm
+    # On-device fori_loop + scalar sync (docs/BENCHMARKS.md "Measurement
+    # pitfalls"): a host loop of identical dispatches through the remote
+    # tunnel reports cached/async fantasy numbers (>peak-FLOPs rates).
     iters = 10
+
+    @jax.jit
+    def score_loop(models, tests):
+        def body(i, acc):
+            s = plda_score_matrix_device(
+                model, models + i.astype(jnp.float32) * 1e-12, tests)
+            return acc + jnp.sum(s[0])
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    np.asarray(score_loop(models, tests))  # compile+warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(models, tests)
-    np.asarray(out)
+    np.asarray(score_loop(models, tests))
     dt = (time.perf_counter() - t0) / iters
     trials_per_s = n_models * n_tests / dt
     _log(f"# plda scoring: {dt*1e3:.2f} ms / {n_models}x{n_tests} trials "

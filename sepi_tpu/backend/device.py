@@ -62,6 +62,15 @@ def _llr_terms(psi: jnp.ndarray, u: jnp.ndarray, n: jnp.ndarray):
 def _llr_block(psi, u, n, v2_proj_ready, v, d):
     """(M_block, N) LLR block given preprocessed test-side pieces."""
     c, inv_g, log_det_g, const_m = _llr_terms(psi, u, n)
+    # The barrier stops XLA:TPU from fusing the elementwise term chain
+    # into the GEMMs: that fusion candidate SIGILLs the TPU compiler's
+    # priority-fusion cost model (TpuPriorityFusionQueue::
+    # NormalizedComputationCost, observed on v5e at 4096x4096x150).
+    # Cost: materializing ~(M+N)xD f32 intermediates (a few MB) that the
+    # two (M,D)x(D,N) GEMMs dwarf.
+    c, inv_g, log_det_g, const_m, v, v2_proj_ready = (
+        jax.lax.optimization_barrier(
+            (c, inv_g, log_det_g, const_m, v, v2_proj_ready)))
     # quad[m, t] = sum_d v_td^2 inv_g_md - 2 v_td c_md inv_g_md + const_m
     quad = (
         jnp.einsum("td,md->mt", v2_proj_ready, inv_g)
