@@ -86,11 +86,13 @@ def bench_extraction(rng):
     model = XVector(cfg)
     probe = jnp.zeros((1, 200, 23), jnp.float32)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), probe, train=False))()
-    dither_key = jax.random.PRNGKey(0)
+    from sepi_tpu.ops.dither import utt_seeds
+
+    dither_seeds = jnp.asarray(utt_seeds([f"bench{i}" for i in range(batch)]))
 
     @jax.jit
     def extract(variables, samples, lengths):
-        feats, mask = fe._mfcc_impl(samples, lengths, t_max, dither_key)
+        feats, mask = fe._mfcc_impl(samples, lengths, t_max, dither_seeds)
         voiced = energy_vad(feats[..., 0], mask, vcfg)
         normed = sliding_cmvn(feats, mask, ccfg)
         sel, sel_mask = select_voiced_frames(normed, voiced)

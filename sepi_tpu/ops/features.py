@@ -260,7 +260,7 @@ class FeatureExtractor:
         mask = jnp.arange(max_frames)[None, :] < t_u[:, None]
         return log_mel, log_e, mask
 
-    def _spectral(self, samples, lengths, max_frames, key):
+    def _spectral(self, samples, lengths, max_frames, seeds):
         """(log_mel, log_energy, mask) via the fused or the stepwise path.
 
         Without dither the dc/preemph/window chain folds into the basis
@@ -269,7 +269,7 @@ class FeatureExtractor:
         (per-frame noise) the stepwise path runs.
         """
         cfg = self.cfg
-        if key is None and cfg.raw_energy:
+        if seeds is None and cfg.raw_energy:
             degenerate = cfg.frame_shift > cfg.frame_length
             if self.spectral_mode == "conv" and not degenerate:
                 return self._spectral_conv(samples, lengths, max_frames)
@@ -284,12 +284,13 @@ class FeatureExtractor:
             mel = jnp.dot(power, self._mel, preferred_element_type=jnp.float32)
             log_mel = jnp.log(jnp.maximum(mel, _EPS))
         else:
-            windowed, log_e, mask = frame_signal(samples, lengths, cfg, max_frames, key)
+            windowed, log_e, mask = frame_signal(
+                samples, lengths, cfg, max_frames, seeds=seeds)
             log_mel = self._log_mel(windowed)
         return log_mel, log_e, mask
 
     @partial(jax.jit, static_argnames=("self", "max_frames"))
-    def _mfcc_impl(self, samples, lengths, max_frames, key):
+    def _mfcc_impl(self, samples, lengths, max_frames, seeds):
         cfg = self.cfg
         if self.spectral_mode in ("auto", "pallas"):
             from .mfcc_pallas import mfcc_fused, supported
@@ -297,12 +298,12 @@ class FeatureExtractor:
             on_tpu = jax.default_backend() == "tpu"
             if supported(cfg) and (on_tpu or self.spectral_mode == "pallas"):
                 # the fused kernel covers dithered configs too (in-kernel
-                # counter-hash RNG, Kaldi per-frame Gaussian dither)
+                # counter-hash RNG, waveform-level Gaussian dither)
                 return mfcc_fused(
                     samples, lengths, cfg, max_frames, interpret=not on_tpu,
-                    key=key if cfg.dither != 0.0 else None,
+                    seeds=seeds if cfg.dither != 0.0 else None,
                 )
-        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
+        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, seeds)
         ceps = jnp.dot(log_mel, self._dct, preferred_element_type=jnp.float32)
         ceps = ceps * self._lifter
         if cfg.use_energy:
@@ -312,28 +313,45 @@ class FeatureExtractor:
         return ceps * mask[..., None], mask
 
     @partial(jax.jit, static_argnames=("self", "max_frames"))
-    def _fbank_impl(self, samples, lengths, max_frames, key):
+    def _fbank_impl(self, samples, lengths, max_frames, seeds):
         cfg = self.cfg
-        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, key)
+        log_mel, log_e, mask = self._spectral(samples, lengths, max_frames, seeds)
         out = log_mel
         if not cfg.use_log_fbank:
             out = jnp.exp(out)
         return out * mask[..., None], mask
 
+    def _seeds(self, key, utt_seeds, batch):
+        """Resolve the dither noise source: per-utterance seeds
+        (preferred — features invariant to batching; ops/dither.py) or a
+        batch-coupled fallback derived from ``key``."""
+        if self.cfg.dither == 0.0:
+            return None
+        if utt_seeds is not None:
+            return jnp.asarray(utt_seeds, jnp.int32)
+        if key is not None:
+            return jax.random.randint(
+                key, (batch,), 0, np.iinfo(np.int32).max, dtype=jnp.int32)
+        return None
+
     # -- public API ---------------------------------------------------
 
-    def mfcc(self, samples, lengths, key=None, max_frames: Optional[int] = None):
+    def mfcc(self, samples, lengths, key=None, max_frames: Optional[int] = None,
+             utt_seeds=None):
         samples, lengths, squeeze = _batchify(samples, lengths)
         if max_frames is None:
             max_frames = int(num_frames(samples.shape[1], self.cfg))
-        feats, mask = self._mfcc_impl(samples, lengths, max_frames, key)
+        seeds = self._seeds(key, utt_seeds, samples.shape[0])
+        feats, mask = self._mfcc_impl(samples, lengths, max_frames, seeds)
         return _unbatch(feats, mask, squeeze)
 
-    def fbank(self, samples, lengths, key=None, max_frames: Optional[int] = None):
+    def fbank(self, samples, lengths, key=None, max_frames: Optional[int] = None,
+              utt_seeds=None):
         samples, lengths, squeeze = _batchify(samples, lengths)
         if max_frames is None:
             max_frames = int(num_frames(samples.shape[1], self.cfg))
-        feats, mask = self._fbank_impl(samples, lengths, max_frames, key)
+        seeds = self._seeds(key, utt_seeds, samples.shape[0])
+        feats, mask = self._fbank_impl(samples, lengths, max_frames, seeds)
         return _unbatch(feats, mask, squeeze)
 
 

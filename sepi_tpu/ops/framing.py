@@ -234,6 +234,7 @@ def frame_signal(
     cfg: FrontendConfig,
     max_frames: int,
     key: Optional[jax.Array] = None,
+    seeds: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched framing.
 
@@ -242,6 +243,10 @@ def frame_signal(
       lengths: (B,) int32 true sample counts.
       max_frames: static frame capacity (>= num_frames(max length)).
       key: PRNG key for dither (None disables dither).
+      seeds: (B,) int32 per-utterance dither seeds (ops/dither.py) —
+        preferred over ``key``: the noise becomes a pure function of
+        (utt seed, frame index, sample-in-frame), so features are
+        invariant to batch composition.
 
     Returns:
       windowed (B, max_frames, flen), log_energy (B, max_frames),
@@ -254,6 +259,22 @@ def frame_signal(
         frames = _gather_frames_fast(samples, lengths, cfg, max_frames)
     else:
         frames = _gather_frames_exact(samples, lengths, cfg, max_frames)
+
+    if seeds is not None and cfg.dither != 0.0:
+        # per-frame counter-hash dither in Kaldi's position (before dc
+        # removal inside _process_frames, which then must not re-dither)
+        from .dither import hash_normal
+
+        flen = cfg.frame_length
+        s = jax.lax.bitcast_convert_type(
+            jnp.asarray(seeds, jnp.int32), jnp.uint32)[:, None, None]
+        cnt = jnp.arange(max_frames * flen, dtype=jnp.uint32).reshape(
+            1, max_frames, flen)
+        # fixed span (not max_frames*flen): the second uniform's counter
+        # offset must not depend on batch padding, or invariance breaks
+        # (2^27 covers 1.9 h of 10 ms frames at flen=200)
+        frames = frames + cfg.dither * hash_normal(s, cnt, 1 << 27)
+        key = None
 
     if key is not None:
         keys = jax.random.split(key, b)

@@ -37,7 +37,7 @@ precision='highest' (6-pass, true f32) matches the exact interpreter to
 
 Reference parity: replaces `compute-mfcc-feats` (steps/make_mfcc.sh:107)
 on the extraction hot path, including Kaldi-default dithered configs
-(per-frame Gaussian dither drawn in-kernel; see mfcc_fused).
+(waveform-level Gaussian dither drawn in-kernel; see mfcc_fused).
 """
 
 from __future__ import annotations
@@ -102,23 +102,6 @@ def reduced_spectral_consts(cfg: FrontendConfig):
     return basis, mel[1:], dct, lift[None, :]
 
 
-def _fmix32(h: jnp.ndarray) -> jnp.ndarray:
-    """MurmurHash3 32-bit finalizer (public domain): bijective avalanche mix.
-
-    Plain uint32 shifts/xors/multiplies, so it lowers identically through
-    Mosaic (VPU) and the Pallas interpreter — the dither stream is
-    bit-exact between the TPU kernel and the CPU test path, unlike the
-    hardware PRNG (pltpu.prng_random_bits), which the interpreter stubs
-    to zeros.  Statistical quality is far beyond what additive dither
-    needs; the point of the counter-based design is pure functional
-    determinism per (seed, counter), the same property Kaldi gets from
-    seeding RandGauss per wav.
-    """
-    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
-    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
-    return h ^ (h >> 16)
-
-
 def _kernel(x_ref, halo_ref, seed_ref, basis_ref, mel_ref, dct_ref, lift_ref,
             out_ref, *, cfg: FrontendConfig, km: int, t_tile: int, prec,
             dithered: bool):
@@ -129,20 +112,48 @@ def _kernel(x_ref, halo_ref, seed_ref, basis_ref, mel_ref, dct_ref, lift_ref,
     rows = jnp.concatenate([x_ref[0], halo_ref[0, :extra]], axis=0)
     T_TILE = t_tile
     if dithered:
-        # per-(batch, tile) seed; each j-block hashes a fresh counter
-        # range, so every frame's every sample gets independent noise —
-        # Kaldi's per-frame dither (overlapping samples dithered
-        # independently per frame).  Dither precedes dc/preemph/window in
-        # Kaldi's order; those are linear and folded into the basis
-        # applied AFTER the addition, so the composition is exact, and
-        # the raw energy below is computed from the dithered part,
-        # matching the stepwise path.
-        # full (B, n_t) seed table lives in SMEM; pick this program's cell
-        seed = seed_ref[pl.program_id(0), pl.program_id(1)].astype(jnp.uint32)
+        # WAVEFORM-level dither: one N(0, dither²) draw per signal sample
+        # of this tile's row block, added BEFORE framing — so overlapping
+        # frames share their common samples' noise (Kaldi re-draws per
+        # frame window; the per-frame-sample marginal law is identical,
+        # only the cross-frame noise correlation differs — documented in
+        # docs/PARITY.md).  Dither precedes dc/preemph/window in Kaldi's
+        # order; those are linear and folded into the basis applied
+        # after the addition, so the composition is exact, and the raw
+        # energy accumulators below see the dithered parts, matching the
+        # stepwise path.
+        #
+        # Cost shape: Box-Muller's log/sqrt/trig are long VPU polynomial
+        # chains, so draw count is the whole dither cost — hence one
+        # fmix32 per uniform, BOTH Box-Muller outputs used (r·cos /
+        # r·sin are independent by construction; the two halves of the
+        # row block are stacked on the sublane dim), and 2.5× fewer
+        # draws than per-frame dither at the SRE framing's 200/80
+        # overlap.
+        #
+        # Determinism: the (B, 1) per-UTTERANCE seed table lives in
+        # SMEM; the tile index remixes it, and counters are tile-local —
+        # every noise value is a pure function of (utt_seed, absolute
+        # sample position), so features do not depend on how utterances
+        # were batched or padded (ops/dither.py).
+        from .dither import _fmix32, hash_normal_pair
+
+        # scalar mixing stays in int32 (Mosaic's tpu.bitcast is
+        # vector-only); GOLDEN as its two's-complement int32, wrapping
+        # multiply — identical bits to the uint32 computation
+        useed = seed_ref[pl.program_id(0), 0]
+        mixed = useed ^ (pl.program_id(1) * jnp.int32(0x9E3779B9 - 2**32))
+        rows_n = T_TILE + extra
+        half = (rows_n + 1) // 2
+        row_w = s_blocks * g
+        seed = _fmix32(jax.lax.bitcast_convert_type(
+            jnp.full((half, row_w), mixed, jnp.int32), jnp.uint32))
         cell = (
-            jax.lax.broadcasted_iota(jnp.uint32, (T_TILE, g), 0) * g
-            + jax.lax.broadcasted_iota(jnp.uint32, (T_TILE, g), 1)
+            jax.lax.broadcasted_iota(jnp.uint32, (half, row_w), 0) * row_w
+            + jax.lax.broadcasted_iota(jnp.uint32, (half, row_w), 1)
         )
+        z1, z2 = hash_normal_pair(seed, cell, half * row_w)
+        rows = rows + cfg.dither * jnp.concatenate([z1, z2], axis=0)[:rows_n]
     # The frame tile is never materialized: part j of every frame (the
     # j-th g-sample block, one contiguous row/lane slice) contracts
     # against its own g rows of the fused basis, accumulating the
@@ -156,21 +167,6 @@ def _kernel(x_ref, halo_ref, seed_ref, basis_ref, mel_ref, dct_ref, lift_ref,
         lane = (j % s_blocks) * g
         off = j // s_blocks
         part = rows[off : off + T_TILE, lane : lane + g]
-        if dithered:
-            # Box-Muller from two 24-bit counter-hash uniforms (VPU).
-            # Counters: (block j, draw#, cell) — disjoint per draw; the
-            # per-(batch, tile) seed separates tiles/utterances.
-            c0 = cell + jnp.uint32(2 * j * T_TILE * g)
-            b1 = _fmix32(seed ^ _fmix32(c0))
-            b2 = _fmix32(seed ^ _fmix32(c0 + jnp.uint32(T_TILE * g)))
-            # top 24 bits -> f32 via int32 (Mosaic has no u32->f32 cast;
-            # the value fits in 24 bits so the bitcast is value-exact)
-            f1 = jax.lax.bitcast_convert_type(b1 >> 8, jnp.int32)
-            f2 = jax.lax.bitcast_convert_type(b2 >> 8, jnp.int32)
-            u1 = (f1.astype(jnp.float32) + 1.0) * (2.0 ** -24)
-            u2 = f2.astype(jnp.float32) * (2.0 ** -24)
-            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
-            part = part + cfg.dither * z
         spec = spec + jnp.dot(part, basis_ref[j * g : (j + 1) * g, :],
                               preferred_element_type=jnp.float32,
                               precision=prec)
@@ -204,24 +200,26 @@ def mfcc_fused(
     interpret: bool = False,
     t_tile: int = T_TILE,
     precision: str = "default",
-    key: Optional[jnp.ndarray] = None,
+    seeds: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched MFCC via the fused kernel: (B, N) -> ((B, T, C), mask).
 
     Identical numerics to FeatureExtractor's 'slices' path for
     dither-free raw-energy configs (tests/test_mfcc_pallas.py).  With
-    ``key`` and ``cfg.dither > 0``, Kaldi-style per-frame Gaussian
-    dither is drawn IN-KERNEL from a counter-based murmur3/Box-Muller
-    generator (seeded per (batch, tile) from the key) — same
-    distribution as the stepwise path, different RNG stream,
-    deterministic per key, and bit-identical between Mosaic and the
-    interpreter (see _fmix32).
+    ``seeds`` ((B,) int32, one per utterance — ops/dither.utt_seeds)
+    and ``cfg.dither > 0``, N(0, dither²) waveform dither is drawn
+    IN-KERNEL from a counter-based murmur3/Box-Muller generator — same
+    per-frame-sample law as the stepwise path (which re-draws per frame
+    window; see the deviation note in _kernel and docs/PARITY.md),
+    a pure function of (seed, absolute sample position) so features are
+    invariant to batching/padding, and bit-identical between Mosaic and
+    the interpreter (ops/dither.py).
     """
     from .framing import num_frames
 
     cfg_key = cfg
     T_TILE = t_tile
-    dithered = key is not None and cfg.dither != 0.0
+    dithered = seeds is not None and cfg.dither != 0.0
     # Mosaic lowers only HIGHEST (6-pass f32) and DEFAULT (1-pass bf16).
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
@@ -255,14 +253,12 @@ def mfcc_fused(
     km = mel.shape[0]
     c = cfg.num_ceps
 
-    # per-(batch, tile) PRNG seeds; zeros when dither is off (the kernel
-    # branch is static, the operand keeps the call signature uniform)
+    # (B, 1) per-utterance seed table; zeros when dither is off (the
+    # kernel branch is static, the operand keeps the signature uniform)
     if dithered:
-        seeds = jax.random.randint(
-            key, (b, n_t), 0, np.iinfo(np.int32).max, dtype=jnp.int32
-        )
+        seed_tab = jnp.asarray(seeds, jnp.int32).reshape(b, 1)
     else:
-        seeds = jnp.zeros((b, n_t), jnp.int32)
+        seed_tab = jnp.zeros((b, 1), jnp.int32)
 
     grid = (b, n_t)
     out = pl.pallas_call(
@@ -275,7 +271,7 @@ def mfcc_fused(
             pl.BlockSpec((1, _HALO_ROWS, row_w),
                          lambda i, t: (i, (t + 1) * (T_TILE // _HALO_ROWS), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, n_t), lambda i, t: (0, 0),
+            pl.BlockSpec((b, 1), lambda i, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((flen, 2 * km), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -296,7 +292,7 @@ def mfcc_fused(
             transcendentals=b * t_pad * (cfg.num_mel_bins + 1),
         ),
         interpret=interpret,
-    )(x_rows, x_rows, seeds, basis, mel, dct, lift)
+    )(x_rows, x_rows, seed_tab, basis, mel, dct, lift)
     out = out[:, :max_frames]
 
     # Exact right-edge fix-up: the ~3 frames whose window crosses each
@@ -320,12 +316,19 @@ def mfcc_fused(
 
     exact = jax.vmap(tail_exact)(samples[:, :n], lengths, t0)  # (B,n_fix,flen)
     if dithered:
-        # the patched tail frames draw from the key's XLA stream (a
-        # different RNG than the kernel's, same distribution; dither is
-        # noise — only determinism-per-key matters)
-        exact = exact + cfg.dither * jax.random.normal(
-            jax.random.fold_in(key, 1), exact.shape, exact.dtype
-        )
+        # the patched tail frames draw per-frame noise from a distinct
+        # per-utterance hash domain (same law as the kernel's waveform
+        # stream, disjoint seeds; t0 is a function of utterance length
+        # only, so the patch too is batch-invariant)
+        from .dither import _fmix32, hash_normal
+
+        pseed = _fmix32(
+            jax.lax.bitcast_convert_type(
+                jnp.asarray(seeds, jnp.int32), jnp.uint32)
+            ^ jnp.uint32(0x7F4A7C15))[:, None, None]
+        cnt = jnp.arange(n_fix * flen, dtype=jnp.uint32).reshape(
+            1, n_fix, flen)
+        exact = exact + cfg.dither * hash_normal(pseed, cnt, n_fix * flen)
     exact = jax.lax.optimization_barrier(exact)
     spec_e = jnp.einsum("bnf,fk->bnk", exact, basis,
                         preferred_element_type=jnp.float32)

@@ -68,11 +68,17 @@ from ..models.tdnn import TdnnSpec
 class GauntletScale:
     """One calibrated difficulty/size operating point."""
 
-    # corpus
+    # corpus.  Trial-count statistics drive the pins' robustness: EER's
+    # standard error is ~sqrt(p(1-p)/num_targets), so 144 targets (r2's
+    # 24 eval spk × 6 test utts) gave ±3-point swings under ANY feature
+    # perturbation (e.g. a different dither stream) and knife-edge
+    # orderings; 48 spk × 12 test utts = 576 targets brings it to ~1.5
+    # points, and the margins below are calibrated against that.
     num_train_speakers: int = 60
-    num_eval_speakers: int = 24
+    num_eval_speakers: int = 48
     num_adapt_speakers: int = 12
     utts_per_speaker: int = 9
+    eval_utts_per_speaker: int = 15
     words_per_utt: Tuple[int, int] = (2, 3)
     speaker_strength: float = 0.55
     f0_jitter: float = 0.10
@@ -220,10 +226,12 @@ def make_gauntlet_data(scale: GauntletScale = CI_SCALE) -> GauntletData:
         spk_prefix="trn", channel_seed=scale.train_channel_seed,
         name="gauntlet_train", **common,
     )
+    shifted_eval = dict(shifted)
+    shifted_eval["utts_per_speaker"] = scale.eval_utts_per_speaker
     evalc = make_phonetic_corpus(
         num_speakers=scale.num_eval_speakers, seed=scale.seed + 1,
         spk_prefix="evl", channel_seed=scale.eval_channel_seed,
-        name="gauntlet_eval", **shifted,
+        name="gauntlet_eval", **shifted_eval,
     )
     adapt = make_phonetic_corpus(
         num_speakers=scale.num_adapt_speakers, seed=scale.seed + 2,

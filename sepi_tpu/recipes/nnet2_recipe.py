@@ -67,27 +67,31 @@ def prepare_paired_features(
     and `select-voiced-frames` both pipelines with it.  Dither (the
     Kaldi default) draws independently per stream — the reference's two
     compute-mfcc-feats passes dither independently too; the paired
-    contract is framing/mask alignment, not shared noise.  A fixed
-    default key keeps prep deterministic per (audio, config)."""
+    contract is framing/mask alignment, not shared noise.  Noise is a
+    pure function of (utt_id, stream, config[, key]) via per-utterance
+    counter-hash seeds (ops/dither.py)."""
+    from ..ops.dither import utt_seeds as _utt_seeds
+
     if (sid_frontend.frame_shift != hires_frontend.frame_shift
             or sid_frontend.frame_length != hires_frontend.frame_length
             or sid_frontend.snip_edges != hires_frontend.snip_edges):
         raise ValueError("paired streams need identical framing")
     dithered = sid_frontend.dither != 0.0 or hires_frontend.dither != 0.0
-    if key is None and dithered:
-        key = jax.random.PRNGKey(0)
+    salt = 0
+    if key is not None and dithered:
+        salt = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
     fe_sid = FeatureExtractor(sid_frontend)
     fe_hires = FeatureExtractor(hires_frontend)
     sid_out: Dict[str, np.ndarray] = {}
     hires_out: Dict[str, np.ndarray] = {}
-    for i, (utt_id, samples) in enumerate(audio.items()):
+    for utt_id, samples in audio.items():
         n = np.array(len(samples))
-        k_s = k_h = None
-        if key is not None:
-            k_u = jax.random.fold_in(key, i)
-            k_s, k_h = jax.random.split(k_u)
-        f_sid, mask = fe_sid.mfcc(samples, n, key=k_s)
-        f_hires, mask_h = fe_hires.mfcc(samples, n, key=k_h)
+        s_s = s_h = None
+        if dithered:
+            s_s = _utt_seeds([utt_id], base_seed=salt)
+            s_h = _utt_seeds([utt_id], base_seed=salt ^ 0x5EED)
+        f_sid, mask = fe_sid.mfcc(samples, n, utt_seeds=s_s)
+        f_hires, mask_h = fe_hires.mfcc(samples, n, utt_seeds=s_h)
         voiced = energy_vad(f_sid[:, 0], mask, vad)
         sid_d = add_deltas(f_sid, mask, order=delta_order)
         sid_n = sliding_cmvn(sid_d, mask, cmvn)

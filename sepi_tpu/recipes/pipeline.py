@@ -142,14 +142,20 @@ def _frontend_batches(
     host arrays.
 
     Dither: when the frontend config asks for dither (the Kaldi default,
-    MfccOptions dither=1.0) and no key is given, a fixed PRNGKey(0) is
-    derived — the analog of compute-mfcc-feats' srand(seed) default, so
-    corpus feature prep stays deterministic per (audio, config) and the
-    content-keyed ArtifactCache stays coherent.  Each batch folds its
-    index into the key so noise is independent across batches.
+    MfccOptions dither=1.0), each utterance's noise is a pure function
+    of (utt_id, config[, key]) via per-utterance counter-hash seeds
+    (ops/dither.py) — features are bitwise-invariant to batch
+    composition and corpus subsetting, and the content-keyed
+    ArtifactCache stays coherent.  An explicit ``key`` salts the whole
+    corpus (the analog of compute-mfcc-feats' srand(seed)).
     """
-    if key is None and fe.cfg.dither != 0.0:
-        key = jax.random.PRNGKey(0)
+    from ..ops.dither import utt_seeds as _utt_seeds
+
+    dither_on = fe.cfg.dither != 0.0
+    salt = 0
+    if key is not None and dither_on:  # resolve the corpus salt ONCE
+        salt = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+        key = None
     items = sorted(audio.items(), key=lambda kv: (len(kv[1]), kv[0]))
     for i in range(0, len(items), batch_size):
         chunk = items[i : i + batch_size]
@@ -159,8 +165,9 @@ def _frontend_batches(
         for b, (_, x) in enumerate(chunk):
             samples[b, : len(x)] = x
             lengths[b] = len(x)
-        k = None if key is None else jax.random.fold_in(key, i)
-        feats, mask = fe.mfcc(samples, lengths, key=k)
+        seeds = (_utt_seeds([u for u, _ in chunk], base_seed=salt)
+                 if dither_on else None)
+        feats, mask = fe.mfcc(samples, lengths, utt_seeds=seeds)
         voiced = energy_vad(feats[..., 0], mask, vad)
         if transform is not None:
             feats = transform(feats, mask)

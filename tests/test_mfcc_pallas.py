@@ -79,16 +79,16 @@ def test_unsupported_geometries_fall_back():
 
 class TestDither:
     """The in-kernel counter-hash dither (Kaldi MfccOptions default
-    dither=1.0).  The kernel's stream differs from the stepwise XLA
-    stream, so parity is statistical: the dither-induced perturbation of
-    the cepstra must match the stepwise path's in scale, the noise must
-    be deterministic per key, and masked frames must stay zero."""
+    dither=1.0).  The kernel's waveform-level stream differs from the
+    stepwise per-frame stream, so parity is statistical: the
+    dither-induced perturbation of the cepstra must match the stepwise
+    path's in scale, the noise must be deterministic per seed AND
+    invariant to batch composition, and masked frames must stay zero."""
 
     cfg = FrontendConfig(dither=1.0)
     cfg0 = FrontendConfig(dither=0.0)
 
-    def _run(self, key=None):
-        import jax
+    def _run(self, seeds=None):
         import jax.numpy as jnp
 
         rng = np.random.default_rng(77)
@@ -98,54 +98,85 @@ class TestDither:
         tmax = int(num_frames(n, self.cfg))
         out, mask = mfcc_fused(
             jnp.asarray(samples), jnp.asarray(lengths), self.cfg, tmax,
-            interpret=True, key=key,
+            interpret=True,
+            seeds=None if seeds is None else np.asarray(seeds, np.int32),
         )
         return samples, lengths, tmax, np.asarray(out), np.asarray(mask)
 
-    def test_supported_and_gated_by_key(self):
+    def test_supported_and_gated_by_seeds(self):
         import jax.numpy as jnp
 
         assert supported(self.cfg)  # dither no longer disqualifies
-        # key=None => bit-identical to the dither-free kernel
-        s, l, tmax, out_none, _ = self._run(key=None)
+        # seeds=None => bit-identical to the dither-free kernel
+        s, l, tmax, out_none, _ = self._run(seeds=None)
         clean, _ = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg0, tmax,
                               interpret=True)
         assert np.array_equal(out_none, np.asarray(clean))
 
     def test_statistics_match_stepwise_path(self):
-        import jax
         import jax.numpy as jnp
 
-        key = jax.random.PRNGKey(42)
-        s, l, tmax, out, mask = self._run(key=key)
+        seeds = np.array([11, 22, 33], np.int32)
+        s, l, tmax, out, mask = self._run(seeds=seeds)
         clean, _ = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg0, tmax,
                               interpret=True)
         d = out - np.asarray(clean)
         assert np.abs(d[~mask]).max() == 0.0  # masked frames stay zero
-        # stepwise (XLA per-frame normal) perturbation as the scale oracle
+        # stepwise (per-frame counter-hash) perturbation as scale oracle
         fe = FeatureExtractor(self.cfg, spectral_mode="slices")
-        step, _ = fe._mfcc_impl(jnp.asarray(s), jnp.asarray(l), tmax, key)
+        step, _ = fe._mfcc_impl(jnp.asarray(s), jnp.asarray(l), tmax,
+                                jnp.asarray(seeds))
         ds = np.asarray(step) - np.asarray(clean)
         scale_k = np.abs(d[mask]).mean()
         scale_s = np.abs(ds[mask]).mean()
         assert scale_k > 0.0
         assert 0.8 < scale_k / scale_s < 1.25, (scale_k, scale_s)
 
-    def test_deterministic_per_key(self):
-        import jax
-
-        _, _, _, out_a, _ = self._run(key=jax.random.PRNGKey(1))
-        _, _, _, out_a2, _ = self._run(key=jax.random.PRNGKey(1))
-        _, _, _, out_b, _ = self._run(key=jax.random.PRNGKey(2))
+    def test_deterministic_per_seed(self):
+        out_a = self._run(seeds=[1, 2, 3])[3]
+        out_a2 = self._run(seeds=[1, 2, 3])[3]
+        out_b = self._run(seeds=[4, 5, 6])[3]
         assert np.array_equal(out_a, out_a2)
         assert not np.array_equal(out_a, out_b)
+
+    def test_invariant_to_batch_composition(self):
+        """The per-utterance seed design's contract: an utterance's
+        features do not depend on what else is in the batch, how long
+        the batch padding is, or its row position."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        n = 16000
+        x = (rng.normal(size=(n,)) * 3000).astype(np.float32)
+        other = (rng.normal(size=(2 * n,)) * 3000).astype(np.float32)
+        tmax_a = int(num_frames(n, self.cfg))
+        tmax_b = int(num_frames(2 * n, self.cfg))
+        solo, _ = mfcc_fused(jnp.asarray(x[None]), jnp.asarray([n]),
+                             self.cfg, tmax_a, interpret=True,
+                             seeds=np.array([99], np.int32))
+        batch = np.zeros((2, 2 * n), np.float32)
+        batch[0] = other
+        batch[1, :n] = x
+        both, _ = mfcc_fused(jnp.asarray(batch), jnp.asarray([2 * n, n]),
+                             self.cfg, tmax_b, interpret=True,
+                             seeds=np.array([7, 99], np.int32))
+        np.testing.assert_array_equal(np.asarray(solo)[0],
+                                      np.asarray(both)[1, :tmax_a])
+        # and on the stepwise path
+        fe = FeatureExtractor(self.cfg, spectral_mode="slices")
+        solo_s, _ = fe._mfcc_impl(jnp.asarray(x[None]), jnp.asarray([n]),
+                                  tmax_a, jnp.asarray([99], jnp.int32))
+        both_s, _ = fe._mfcc_impl(jnp.asarray(batch),
+                                  jnp.asarray([2 * n, n]), tmax_b,
+                                  jnp.asarray([7, 99], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(solo_s)[0],
+                                      np.asarray(both_s)[1, :tmax_a])
 
     def test_hash_uniforms_are_gaussian_after_boxmuller(self):
         """Distribution check on the raw in-kernel stream: dither deltas
         on a pure-DC signal isolate the noise; its frame energies must
         track chi-square expectations (catches a broken mixer that,
         e.g., returns constants or correlated draws)."""
-        import jax
         import jax.numpy as jnp
 
         n = 8000
@@ -155,7 +186,7 @@ class TestDither:
         l = np.array([n, n], np.int32)
         tmax = int(num_frames(n, self.cfg))
         out, mask = mfcc_fused(jnp.asarray(s), jnp.asarray(l), self.cfg, tmax,
-                               interpret=True, key=jax.random.PRNGKey(3))
+                               interpret=True, seeds=np.array([3, 4], np.int32))
         flen = self.cfg.frame_length
         log_e = np.asarray(out)[..., 0][np.asarray(mask)]
         # E[chi2(flen-1)] = flen-1; log of it concentrates hard for flen=200
