@@ -1,5 +1,6 @@
 """LDC corpus walkers — typed equivalents of the reference's data-prep
-scripts (`local/make_sre.pl`, `make_sre10.pl`, `make_sre16_eval.pl`,
+scripts (`local/make_sre.pl`, `make_sre08.pl`, `make_sre10.pl`,
+`make_sre16_eval.pl`,
 `make_sre16_unlabeled.pl`, `make_swbd_cellular{1,2}.pl`,
 `make_swbd2_phase{1,2,3}.pl`, `make_musan.py` — SURVEY.md §2.3 "data
 prep (corpora)").  Each walker reads the documented LDC distribution
@@ -71,6 +72,68 @@ def walk_sre(
                 speaker, utt2sph[utt_id], ch, gender,
             ))
     return Dataset(utts, name or f"sre20{sre_year}")
+
+
+def walk_sre08(
+    db_base_test: str,
+    db_base_train: str,
+    keys_rel: str = "data/keys/NIST_SRE08_KEYS.v0.1",
+    condition: str = "short2-short3",
+) -> Dataset:
+    """make_sre08.pl: SRE08 test (LDC2011S08) + enroll (LDC2011S05) into
+    ONE dataset, driven by the NIST key files under the test release.
+
+    Layout: `.sph` audio under `{test,train}/data/**`; model key
+    `{keys_rel}/model-keys/NIST_SRE08_{short2}.model.key` rows
+    `model,gender,seg:ch,sid` (one enrollment segment per model, gender
+    per NIST speaker id); trial key
+    `{keys_rel}/trial-keys/NIST_SRE08_{condition}.trial.key` rows
+    `model,seg,ch,target,...` — every *target* trial whose model maps to
+    a speaker contributes `{sid}_SRE08_{seg}_{A|B}` (like make_sre10.pl,
+    this builds PLDA *training* data, not an eval set).
+    """
+    seg2sph = _find_by_stem(os.path.join(db_base_test, "data"))
+    seg2sph.update(_find_by_stem(os.path.join(db_base_train, "data")))
+    model_cond = condition.split("-")[0]
+    model_key = os.path.join(
+        db_base_test, keys_rel, "model-keys",
+        f"NIST_SRE08_{model_cond}.model.key")
+    trial_key = os.path.join(
+        db_base_test, keys_rel, "trial-keys",
+        f"NIST_SRE08_{condition}.trial.key")
+
+    utts: Dict[str, Utterance] = {}
+    model2sid: Dict[str, str] = {}
+    sid2gender: Dict[str, str] = {}
+
+    def add(sid: str, seg: str, ch: str) -> None:
+        if ch not in ("a", "b"):
+            raise ValueError(f"malformed SRE08 key channel: {ch!r}")
+        if seg not in seg2sph:
+            return
+        utt = f"{sid}_SRE08_{seg}_{ch.upper()}"
+        utts[utt] = _sph_utt(utt, sid, seg2sph[seg],
+                             "1" if ch == "a" else "2", sid2gender.get(sid))
+
+    with open(model_key) as f:
+        for line in f:
+            toks = line.strip().split(",")
+            if len(toks) < 4:
+                continue
+            model, gender, seg_ch, sid = toks[:4]
+            seg, _, ch = seg_ch.partition(":")
+            model2sid[model] = sid
+            sid2gender[sid] = gender
+            add(sid, seg, ch)
+    with open(trial_key) as f:
+        for line in f:
+            toks = line.strip().split(",")
+            if len(toks) < 4:
+                continue
+            model, seg, ch, target = toks[:4]
+            if target == "target" and model in model2sid:
+                add(model2sid[model], seg, ch)
+    return Dataset(list(utts.values()), "sre08")
 
 
 def walk_sre10(db_base: str, condition: str = "coreext") -> Dataset:

@@ -37,6 +37,34 @@ def test_walk_sre(tmp_path):
     assert u.wav.endswith("xaaa.sph")
 
 
+def test_walk_sre08(tmp_path):
+    test_db = tmp_path / "LDC2011S08"
+    train_db = tmp_path / "LDC2011S05"
+    for seg in ["tseg1", "tseg2"]:
+        _touch(str(test_db / "data" / f"{seg}.sph"))
+    _touch(str(train_db / "data" / "eseg1.sph"))
+    keys = test_db / "data" / "keys" / "NIST_SRE08_KEYS.v0.1"
+    _touch(str(keys / "model-keys" / "NIST_SRE08_short2.model.key"), "\n".join([
+        "m1,f,eseg1:a,9001",
+        "m2,m,missing:b,9002",      # enroll sph absent: enroll utt dropped
+    ]))
+    _touch(str(keys / "trial-keys" / "NIST_SRE08_short2-short3.trial.key"),
+           "\n".join([
+               "m1,tseg1,a,target,x",
+               "m1,tseg2,b,nontarget,x",  # nontarget: dropped
+               "m2,tseg2,b,target,x",     # model's enroll missing, sid known
+               "m9,tseg1,b,target,x",     # unknown model: dropped
+           ]))
+    ds = ldc.walk_sre08(str(test_db), str(train_db))
+    assert set(ds.utt_ids) == {
+        "9001_SRE08_eseg1_A", "9001_SRE08_tseg1_A", "9002_SRE08_tseg2_B",
+    }
+    u = ds["9001_SRE08_eseg1_A"]
+    assert u.spk_id == "9001"
+    assert u.get_meta("channel") == "1" and u.get_meta("gender") == "f"
+    assert ds["9002_SRE08_tseg2_B"].get_meta("gender") == "m"
+
+
 def test_walk_sre10(tmp_path):
     db = tmp_path / "sre10"
     for seg in ["seg1", "seg2"]:
