@@ -217,8 +217,11 @@ def gauntlet_main(argv) -> int:
                            variants=tuple(args.variants.split(",")))
     print(format_table(results), flush=True)
     if args.ablations:
-        pl, ad = run_adaptation_ablation(args.workdir, scale)
-        print(f"adaptation: plain {pl*100:.2f}% -> adapted {ad*100:.2f}%")
+        r = run_adaptation_ablation(args.workdir, scale)
+        print(f"adaptation: plain EER {r['plain'].pooled.eer*100:.2f}% -> "
+              f"mean-recentered {r['mean'].pooled.eer*100:.2f}%; "
+              f"minDCF08 {r['plain'].pooled.min_dcf08:.3f} -> "
+              f"full-adapted {r['full'].pooled.min_dcf08:.3f}")
         pl, au = run_augmentation_ablation(args.workdir, scale)
         print(f"augmentation: clean-train {pl*100:.2f}% -> augmented "
               f"{au*100:.2f}%")
