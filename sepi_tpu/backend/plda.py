@@ -215,8 +215,13 @@ def score_trials(
     test_vecs: Mapping[str, np.ndarray],
     trials: Sequence,
     num_utts: Optional[Mapping[str, int]] = None,
+    device: bool = False,
 ) -> Dict[Tuple[str, str], float]:
-    """Score a trial list via the dense matrix (models x tests), then join."""
+    """Score a trial list via the dense matrix (models x tests), then join.
+
+    ``device=True`` computes the matrix on-accelerator in f32
+    (`backend.device.plda_score_matrix_device` — two GEMMs +
+    elementwise); default is the float64 host reference path."""
     models = sorted({t.model for t in trials})
     tests = sorted({t.test for t in trials})
     e = np.stack([enroll_vecs[m] for m in models])
@@ -224,7 +229,12 @@ def score_trials(
     n = None
     if num_utts is not None:
         n = np.array([num_utts.get(m, 1) for m in models], np.float64)
-    s = plda_score_matrix(plda, e, v, n)
+    if device:
+        from .device import plda_score_matrix_device
+
+        s = np.asarray(plda_score_matrix_device(plda, e, v, n))
+    else:
+        s = plda_score_matrix(plda, e, v, n)
     mi = {m: i for i, m in enumerate(models)}
     ti = {t: i for i, t in enumerate(tests)}
     return {(t.model, t.test): float(s[mi[t.model], ti[t.test]]) for t in trials}

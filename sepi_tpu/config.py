@@ -246,6 +246,11 @@ class BackendConfig:
     # PLDA adaptation (ivector-adapt-plda, v2/run_sre16.sh:96-103)
     adapt_within_covar_scale: float = 0.75
     adapt_between_covar_scale: float = 0.25
+    # score the trial matrix on-device (backend.plda_score_matrix_device,
+    # f32 GEMMs) instead of host float64 — same math, parity pinned in
+    # tests/test_backend_device.py; default off so reference-semantics
+    # runs keep bit-stable float64 scores
+    device_scoring: bool = False
 
     replace = _replace
 

@@ -481,7 +481,8 @@ def backend_eval(
         if t.test in utt_embeddings
     }
     usable = [t for t in trials if t.model in enroll_vecs and t.test in test_vecs]
-    scores = score_trials(plda, enroll_vecs, test_vecs, usable, num_utts)
+    scores = score_trials(plda, enroll_vecs, test_vecs, usable, num_utts,
+                          device=backend_cfg.device_scoring)
     tgt, non = split_scores_by_trials(
         scores, [(t.model, t.test, t.target) for t in usable]
     )
