@@ -189,6 +189,79 @@ def prep_asr_main(argv) -> int:
     return 0
 
 
+def prep_ldc_main(argv) -> int:
+    """`python -m sepi_tpu prep-ldc`: walk a raw LDC distribution into
+    typed manifests — the CLI surface of the reference's `local/make_*.pl`
+    data-prep call sites (`v1/run_sre10.sh:48-76`).  Writes JSONL
+    manifests (`Dataset.save`) plus NIST trial lists where the corpus
+    ships keys; audio stays referenced in place (native SPHERE decode
+    resolves channels at load time)."""
+    p = argparse.ArgumentParser(prog="sepi_tpu prep-ldc",
+                                description=prep_ldc_main.__doc__)
+    p.add_argument("--corpus", required=True,
+                   choices=["sre", "sre08", "sre10", "sre16-eval",
+                            "sre16-unlabeled", "swbd-cellular", "swbd2",
+                            "mx6", "musan"])
+    p.add_argument("--db", required=True, help="corpus distribution root")
+    p.add_argument("--db2", default=None,
+                   help="second root (sre08: the enroll/train release)")
+    p.add_argument("--out", required=True, help="output manifest directory")
+    p.add_argument("--year", default=None, help="sre: two-digit year (04..08)")
+    p.add_argument("--sre-ref", default=None, help="sre: combined key file")
+    p.add_argument("--condition", default="coreext", help="sre10 condition")
+    p.add_argument("--use-vocals", action="store_true",
+                   help="musan: keep music tracks with vocals")
+    args = p.parse_args(argv)
+    from .data import ldc
+    from .data.asr_prep import walk_mx6
+    from .data.manifest import save_trials
+
+    os.makedirs(args.out, exist_ok=True)
+    written = []
+
+    def put(ds, stem=None):
+        path = os.path.join(args.out, f"{stem or ds.name}.jsonl")
+        ds.save(path)
+        written.append(f"{path} ({len(ds)} utts, {len(ds.speakers)} spks)")
+
+    c = args.corpus
+    if c == "sre":
+        if not (args.year and args.sre_ref):
+            p.error("--corpus sre needs --year and --sre-ref")
+        put(ldc.walk_sre(args.db, args.year, args.sre_ref))
+    elif c == "sre08":
+        if not args.db2:
+            p.error("--corpus sre08 needs --db (test, LDC2011S08) and "
+                    "--db2 (train, LDC2011S05)")
+        put(ldc.walk_sre08(args.db, args.db2))
+    elif c == "sre10":
+        put(ldc.walk_sre10(args.db, args.condition))
+    elif c == "sre16-eval":
+        enroll, test, trials = ldc.walk_sre16_eval(args.db)
+        put(enroll)
+        put(test)
+        for cond, ts in trials.items():
+            tp = os.path.join(args.out, f"trials_{cond}")
+            save_trials(ts, tp)
+            written.append(f"{tp} ({len(ts)} trials)")
+    elif c == "sre16-unlabeled":
+        major, minor = ldc.walk_sre16_unlabeled(args.db)
+        put(major)
+        put(minor)
+    elif c == "swbd-cellular":
+        put(ldc.walk_swbd_cellular(args.db))
+    elif c == "swbd2":
+        put(ldc.walk_swbd2_phase(args.db))
+    elif c == "mx6":
+        put(walk_mx6(args.db))
+    elif c == "musan":
+        for kind, ds in ldc.walk_musan(args.db, args.use_vocals).items():
+            put(ds)
+    for line in written:
+        print(f"wrote {line}", flush=True)
+    return 0
+
+
 def gauntlet_main(argv) -> int:
     """`python -m sepi_tpu gauntlet`: the non-degenerate parity run —
     v1-v5 at matched budgets on the calibrated disjoint-speaker
@@ -233,6 +306,8 @@ def main(argv=None) -> int:
         argv = sys.argv[1:]
     if argv and argv[0] == "prep-asr":
         return prep_asr_main(argv[1:])
+    if argv and argv[0] == "prep-ldc":
+        return prep_ldc_main(argv[1:])
     if argv and argv[0] == "gauntlet":
         return gauntlet_main(argv[1:])
     args = build_parser().parse_args(argv)

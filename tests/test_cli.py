@@ -133,3 +133,49 @@ def test_cli_v2_with_augmentation_dirs(cli_world, tmp_path):
     scp = open(f"{wd}/xvector.scp").read()
     assert sum(1 for line in scp.splitlines()
                if any(k in line for k in ("-reverb", "-noise", "-music", "-babble"))) == 30
+
+
+def test_cli_prep_ldc_sre08_and_sre16(tmp_path, capsys):
+    """prep-ldc walks fixture LDC trees into loadable manifests + trials
+    (the make_sre08.pl / make_sre16_eval.pl call-site analog)."""
+    from sepi_tpu.data.manifest import Dataset, load_trials
+
+    def touch(path, content=""):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+
+    test_db = tmp_path / "LDC2011S08"
+    train_db = tmp_path / "LDC2011S05"
+    touch(str(test_db / "data" / "tseg1.sph"))
+    touch(str(train_db / "data" / "eseg1.sph"))
+    keys = test_db / "data" / "keys" / "NIST_SRE08_KEYS.v0.1"
+    touch(str(keys / "model-keys" / "NIST_SRE08_short2.model.key"),
+          "m1,f,eseg1:a,9001\n")
+    touch(str(keys / "trial-keys" / "NIST_SRE08_short2-short3.trial.key"),
+          "m1,tseg1,a,target,x\n")
+    out08 = tmp_path / "out08"
+    rc = main(["prep-ldc", "--corpus", "sre08", "--db", str(test_db),
+               "--db2", str(train_db), "--out", str(out08)])
+    assert rc == 0
+    ds = Dataset.load(str(out08 / "sre08.jsonl"))
+    assert set(ds.utt_ids) == {"9001_SRE08_eseg1_A", "9001_SRE08_tseg1_A"}
+    assert ds["9001_SRE08_eseg1_A"].get_meta("gender") == "f"
+
+    sre16 = tmp_path / "R149"
+    touch(str(sre16 / "data" / "enrollment" / "enr1.sph"))
+    touch(str(sre16 / "data" / "test" / "tst1.sph"))
+    touch(str(sre16 / "docs" / "sre16_eval_enrollment.tsv"),
+          "spkA enr1\n")
+    touch(str(sre16 / "docs" / "sre16_eval_trial_key.tsv"),
+          "spkA tst1 x target\n")
+    touch(str(sre16 / "docs" / "sre16_eval_segment_key.tsv"), "tst1 call1\n")
+    touch(str(sre16 / "metadata" / "calls.tsv"), "call1 tgl\n")
+    out16 = tmp_path / "out16"
+    rc = main(["prep-ldc", "--corpus", "sre16-eval", "--db", str(sre16),
+               "--out", str(out16)])
+    assert rc == 0
+    enroll = Dataset.load(str(out16 / "sre16_eval_enroll.jsonl"))
+    assert enroll.utt_ids == ["spkA-enr1"]
+    trials = load_trials(str(out16 / "trials_tgl"))
+    assert len(trials) == 1 and trials[0].target
