@@ -179,11 +179,24 @@ ADAPT_SCALE = dataclasses.replace(
 # Hardware scale: full-size v2 graph (512/1500/512 — run_xvector_new.sh:
 # 90-115), reference AM widths scaled to the synthetic senone count,
 # larger populations and budgets.  Meant for the real chip via bench/CLI.
+#
+# Hardness is recalibrated relative to CI_SCALE because full-size models
+# saturate the CI corpus: at CI hardness the r4 hardware run measured
+# v1 1.24 / v2 3.40 / v3 3.33 / v4 3.65 / v5 4.25 %EER — EERs so low
+# that the variant gaps sink under the ±0.8-point standard error and
+# the ordering is noise.  With weaker speaker signatures, more pitch
+# jitter and a lower SNR floor, full-size v2 lands at 11.2% (se ~1.2 at
+# 720 targets) and the phonetic ordering re-emerges (docs/BENCHMARKS.md
+# "Accuracy gauntlet").
 HW_SCALE = GauntletScale(
     num_train_speakers=150,
-    num_eval_speakers=40,
+    num_eval_speakers=60,
     num_adapt_speakers=16,
     utts_per_speaker=10,
+    speaker_strength=0.42,
+    f0_jitter=0.14,
+    noise_snr_db=(4.0, 14.0),
+    channel_strength=0.2,
     steps=2400,
     am_steps=2400,
     frame_dim=512,
