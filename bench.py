@@ -207,6 +207,31 @@ def bench_training(rng, extra):
     _log(f"# v5 multitask pair: {dt_v5*1e3:.2f} ms/(am+xvec step)")
     extra["v5_multitask_ms_per_step_pair"] = round(dt_v5 * 1e3, 3)
 
+    # v5 multitask superstep: the production dispatch (the trainer buffers
+    # same-task same-shape runs of K batches per stream —
+    # recipes/pipeline.make_task_supersteps); K=8 am + K=8 xvec scanned
+    # as two device calls = one dispatched pair per 8 step-pairs.
+    K5 = 8
+    am_sstep = make_superstep(v5, tx, task_kwargs={"task": "am"})
+    xv_sstep = make_superstep(v5, tx, task_kwargs={"task": "xvec"})
+    feats_am_s = jnp.broadcast_to(feats_am, (K5,) + feats_am.shape)
+    labels_am_s = jnp.broadcast_to(labels_am, (K5,) + labels_am.shape)
+    feats_xv_s = jnp.broadcast_to(feats_v2, (K5,) + feats_v2.shape)
+    labels_xv_s = jnp.broadcast_to(labels_v2, (K5,) + labels_v2.shape)
+    w5 = jnp.ones((K5,), jnp.float32)
+
+    def v5_super_pair(st, fa, la, fx, lx):
+        st, _ = am_sstep(st, fa, la, w5)
+        st, _ = xv_sstep(st, fx, lx, w5)
+        return st
+
+    dt_v5s = time_loop(
+        v5_super_pair, state_v5, feats_am_s, labels_am_s,
+        feats_xv_s, labels_xv_s, iters=4,
+    ) / K5
+    _log(f"# v5 multitask superstep K={K5}: {dt_v5s*1e3:.2f} ms/(am+xvec step)")
+    extra["v5_superstep8_ms_per_step_pair"] = round(dt_v5s * 1e3, 3)
+
 
 def bench_plda_scoring(rng, extra):
     """On-device PLDA trial scoring throughput (trials/s)."""
