@@ -262,6 +262,71 @@ def prep_ldc_main(argv) -> int:
     return 0
 
 
+def interop_main(cmd: str, argv) -> int:
+    """`python -m sepi_tpu import-kaldi|export-kaldi`: nnet3 raw model
+    interop (utils/nnet3.py).  import-kaldi loads a Kaldi-trained v1-v5
+    `final.raw` (`run_xvector_new.sh:131-150`) into sepi_tpu variables;
+    export-kaldi writes a sepi_tpu model (an imported variables.msgpack
+    or a trainer ckpt_*.msgpack) back to a Kaldi-readable raw file."""
+    import json
+
+    import flax.serialization
+
+    p = argparse.ArgumentParser(prog=f"sepi_tpu {cmd}",
+                                description=interop_main.__doc__)
+    if cmd == "import-kaldi":
+        p.add_argument("--raw", required=True, help="Kaldi nnet3 raw model")
+        p.add_argument("--arch", default=None,
+                       choices=["am", "v2", "v3", "v4", "v5"],
+                       help="override auto-detection")
+        p.add_argument("--out", required=True, help="output directory")
+        args = p.parse_args(argv)
+        import dataclasses as _dc
+
+        from .utils.nnet3 import import_kaldi_raw
+
+        model, variables, arch = import_kaldi_raw(args.raw, args.arch)
+        os.makedirs(args.out, exist_ok=True)
+        vpath = os.path.join(args.out, "variables.msgpack")
+        with open(vpath, "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+        meta = {"arch": arch, "source": os.path.abspath(args.raw),
+                "config": _dc.asdict(model.cfg)}
+        with open(os.path.join(args.out, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        n_params = sum(int(np.prod(l.shape)) for l in
+                       _tree_leaves_np(variables["params"]))
+        print(f"imported {arch} model ({n_params} params) -> {vpath}",
+              flush=True)
+        return 0
+
+    p.add_argument("--model", required=True,
+                   help="variables.msgpack (from import-kaldi) or a "
+                        "trainer ckpt_*.msgpack")
+    p.add_argument("--arch", required=True,
+                   choices=["am", "v2", "v3", "v4", "v5"])
+    p.add_argument("--out", required=True, help="output raw path")
+    args = p.parse_args(argv)
+    from .utils.nnet3 import export_kaldi_raw
+
+    with open(args.model, "rb") as f:
+        tree = flax.serialization.msgpack_restore(f.read())
+    if "params" not in tree or "batch_stats" not in tree:
+        raise SystemExit(
+            f"{args.model}: no params/batch_stats subtrees (keys: "
+            f"{sorted(tree)}) — not a sepi_tpu model file")
+    export_kaldi_raw({"params": tree["params"],
+                      "batch_stats": tree["batch_stats"]}, args.arch, args.out)
+    print(f"wrote Kaldi nnet3 raw model {args.out}", flush=True)
+    return 0
+
+
+def _tree_leaves_np(tree):
+    import jax
+
+    return [np.asarray(l) for l in jax.tree_util.tree_leaves(tree)]
+
+
 def gauntlet_main(argv) -> int:
     """`python -m sepi_tpu gauntlet`: the non-degenerate parity run —
     v1-v5 at matched budgets on the calibrated disjoint-speaker
@@ -310,6 +375,8 @@ def main(argv=None) -> int:
         return prep_ldc_main(argv[1:])
     if argv and argv[0] == "gauntlet":
         return gauntlet_main(argv[1:])
+    if argv and argv[0] in ("import-kaldi", "export-kaldi"):
+        return interop_main(argv[0], argv[1:])
     args = build_parser().parse_args(argv)
     from .config import AlignConfig, ChunkConfig, OptimizerConfig, TrainConfig
     from .data.manifest import load_trials

@@ -1,0 +1,481 @@
+"""Kaldi nnet3 raw model import/export (utils/nnet3.py).
+
+The migration surface: a user of the reference arrives with Kaldi-trained
+``final.raw`` files (`run_xvector_new.sh:131-150`); import must drop them
+into our models with forward-parity, and export must write files a Kaldi
+reader accepts.  Without Kaldi in the image, the oracle is (a) an
+*independent* byte-level writer in this file (struct-packed by hand from
+the wire spec, sharing no code with the module's _Writer) and (b) exact
+round-trip + batch-norm-folding identities.
+"""
+
+import dataclasses
+import io
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sepi_tpu.models import (
+    AdaptedConfig,
+    AdaptedXVector,
+    AmConfig,
+    AmNet,
+    CombinedConfig,
+    CombinedCVector,
+    MultitaskConfig,
+    MultitaskCVector,
+    XVector,
+    XVectorConfig,
+)
+from sepi_tpu.models.tdnn import TdnnSpec
+from sepi_tpu.utils import nnet3
+from sepi_tpu.utils.nnet3 import (
+    Nnet3ParseError,
+    detect_arch,
+    export_kaldi_raw,
+    import_kaldi_raw,
+    read_nnet3_raw,
+)
+
+FEAT = 8
+
+
+def tiny_xvector_cfg(num_speakers=11):
+    return dataclasses.replace(
+        XVectorConfig(),
+        feat_dim=FEAT,
+        num_speakers=num_speakers,
+        frame_specs=(
+            TdnnSpec(16, (-2, -1, 0, 1, 2)),
+            TdnnSpec(16, (-2, 0, 2)),
+            TdnnSpec(16, (-3, 0, 3)),
+            TdnnSpec(16, (0,)),
+            TdnnSpec(24, (0,)),
+        ),
+        embed_dim=12,
+    )
+
+
+def tiny_am_cfg(num_senones=17):
+    return dataclasses.replace(
+        AmConfig(),
+        feat_dim=FEAT,
+        num_senones=num_senones,
+        specs=(
+            TdnnSpec(16, (-2, -1, 0, 1, 2)),
+            TdnnSpec(16, (-1, 0, 1)),
+            TdnnSpec(16, (-1, 0, 1)),
+            TdnnSpec(16, (-3, 0, 3)),
+            TdnnSpec(6, (-6, -3, 0)),
+        ),
+    )
+
+
+def randomize_bn(variables, rng):
+    """Give batch-norm stats/scales non-trivial values so the export
+    folding (scale -> written variance) is actually exercised."""
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    def walk(tree, in_stats):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if k == "batchnorm":
+                    if in_stats:
+                        v["mean"] = rng.normal(size=v["mean"].shape).astype(np.float32)
+                        v["var"] = rng.uniform(0.5, 3.0, v["var"].shape).astype(np.float32)
+                    else:
+                        v["scale"] = rng.uniform(0.5, 2.0, v["scale"].shape).astype(np.float32)
+                else:
+                    walk(v, in_stats)
+
+    walk(variables["params"], False)
+    walk(variables["batch_stats"], True)
+    return variables
+
+
+def init_model(model, t=64, **kw):
+    probe = jnp.zeros((1, t, FEAT), jnp.float32)
+    return model.init(jax.random.PRNGKey(7), probe, train=False, **kw)
+
+
+def _arr_leaves(out):
+    from sepi_tpu.models.tdnn import Stream
+
+    ls = jax.tree_util.tree_leaves(out, is_leaf=lambda v: isinstance(v, Stream))
+    return [l.x if isinstance(l, Stream) else l for l in ls]
+
+
+def assert_forward_close(model_a, vars_a, model_b, vars_b, rng, t=64, **kw):
+    x = jnp.asarray(rng.normal(size=(2, t, FEAT)).astype(np.float32))
+    out_a = model_a.apply(vars_a, x, train=False, **kw)
+    out_b = model_b.apply(vars_b, x, train=False, **kw)
+    la, lb = _arr_leaves(out_a), _arr_leaves(out_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        # the scale->variance fold is exact in f64 but re-rounds each
+        # batchnorm's rsqrt in f32; across 13 layers that accumulates to
+        # ~1e-4 relative -- far below any training/extraction noise floor
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=3e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------- roundtrips
+
+
+@pytest.mark.parametrize("arch", ["v2", "am", "v3", "v4", "v5"])
+def test_roundtrip_forward_parity(tmp_path, rng, arch):
+    if arch == "v2":
+        model = XVector(tiny_xvector_cfg())
+        kw = {}
+    elif arch == "am":
+        model = AmNet(tiny_am_cfg())
+        kw = {}
+    elif arch == "v3":
+        cfg = dataclasses.replace(
+            MultitaskConfig(), feat_dim=FEAT, num_speakers=11, num_senones=17,
+            hidden_dim=16, pool_dim=24, embed_dim=12)
+        model = MultitaskCVector(cfg)
+        kw = {"task": "both"}
+    elif arch == "v4":
+        cfg = dataclasses.replace(
+            AdaptedConfig(), feat_dim=FEAT, num_speakers=11,
+            am=dataclasses.replace(tiny_am_cfg(), num_senones=0),
+            hidden_dim=16, pool_dim=24, embed_dim=12)
+        model = AdaptedXVector(cfg)
+        kw = {}
+    else:
+        cfg = dataclasses.replace(
+            CombinedConfig(), feat_dim=FEAT, num_speakers=11, num_senones=17,
+            am=dataclasses.replace(tiny_am_cfg(), num_senones=0),
+            hidden_dim=16, pool_dim=24, embed_dim=12)
+        model = CombinedCVector(cfg)
+        kw = {"task": "both"}
+
+    variables = randomize_bn(init_model(model, **kw), rng)
+    path = str(tmp_path / f"{arch}.raw")
+    export_kaldi_raw(variables, arch, path)
+
+    model2, vars2, detected = import_kaldi_raw(path)
+    assert detected == arch
+    # the importer rebuilt the model from the file; dims must match
+    assert_forward_close(model, variables, model2, vars2, rng,
+                         **({"task": "both"} if arch in ("v3", "v5") else {}))
+
+
+def test_v3_num_shared_2_roundtrip(tmp_path, rng):
+    cfg = dataclasses.replace(
+        MultitaskConfig(), feat_dim=FEAT, num_speakers=5, num_senones=9,
+        num_shared=2, hidden_dim=16, pool_dim=24, embed_dim=12)
+    model = MultitaskCVector(cfg)
+    variables = randomize_bn(init_model(model, task="both"), rng)
+    path = str(tmp_path / "v3s2.raw")
+    export_kaldi_raw(variables, "v3", path)
+    nnet = read_nnet3_raw(path)
+    assert "tdnn2.affine" in nnet.components  # second shared layer
+    assert "tdnn3_am.affine" in nnet.components  # branch starts at 3
+    model2, vars2, arch = import_kaldi_raw(path)
+    assert arch == "v3"
+    assert model2.cfg.num_shared == 2
+    assert_forward_close(model, variables, model2, vars2, rng, task="both")
+
+
+def test_epsilon_target_rms_folding(tmp_path, rng):
+    """Two files whose (var, eps) pairs normalize identically must import
+    to identical forwards: var' = var + (eps - eps') keeps var+eps fixed."""
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    p1 = str(tmp_path / "a.raw")
+    export_kaldi_raw(variables, "v2", p1)
+
+    nnet = read_nnet3_raw(p1)
+    for comp in nnet.components.values():
+        if comp.type == "BatchNormComponent":
+            eps = comp.scalar_float("Epsilon")
+            new_eps = 7e-3
+            var = comp.vector("StatsVar")
+            comp.fields["StatsVar"] = var + (eps - new_eps)
+            comp.fields["Epsilon"] = nnet3._Scalar(struct.pack("<f", new_eps))
+    p2 = str(tmp_path / "b.raw")
+    nnet3.write_nnet3_raw(nnet, p2)
+
+    m1, v1, _ = import_kaldi_raw(p1)
+    m2, v2, _ = import_kaldi_raw(p2)
+    assert_forward_close(m1, v1, m2, v2, rng)
+
+
+# ------------------------------------------- independent byte-level fixture
+
+
+def _w_token(out, tok):
+    out.write(tok.encode() + b" ")
+
+
+def _w_int(out, v):
+    out.write(b"\x04" + struct.pack("<i", v))
+
+
+def _w_float(out, v):
+    out.write(b"\x04" + struct.pack("<f", v))
+
+
+def _w_double(out, v):
+    out.write(b"\x08" + struct.pack("<d", v))
+
+
+def _w_fm(out, m):
+    _w_token(out, "FM")
+    _w_int(out, m.shape[0])
+    _w_int(out, m.shape[1])
+    out.write(np.asarray(m, np.float32).tobytes())
+
+
+def _w_dv(out, v):
+    _w_token(out, "DV")
+    _w_int(out, v.shape[0])
+    out.write(np.asarray(v, np.float64).tobytes())
+
+
+def _w_fv(out, v):
+    _w_token(out, "FV")
+    _w_int(out, v.shape[0])
+    out.write(np.asarray(v, np.float32).tobytes())
+
+
+def test_reader_against_independent_writer(tmp_path, rng):
+    """Byte-level fixture written with raw struct calls (not _Writer),
+    including the optional tokens real Kaldi emits: LearningRateFactor,
+    MaxChange, IsGradient, NG state, ReLU self-repair stats, BlockDim."""
+    dim_in, dim_out = 6, 4
+    w = rng.normal(size=(dim_out, 3 * dim_in)).astype(np.float32)
+    b = rng.normal(size=dim_out).astype(np.float32)
+    mean = rng.normal(size=dim_out)
+    var = rng.uniform(0.5, 2.0, dim_out)
+
+    out = io.BytesIO()
+    out.write(b"\x00B")
+    _w_token(out, "<Nnet3>")
+    out.write(b"\n")
+    lines = [
+        f"input-node name=input dim={dim_in}",
+        "component-node name=tdnn1.affine component=tdnn1.affine "
+        "input=Append(Offset(input, -1), input, Offset(input, 1))",
+        "component-node name=tdnn1.relu component=tdnn1.relu input=tdnn1.affine",
+        "component-node name=tdnn1.batchnorm component=tdnn1.batchnorm "
+        "input=tdnn1.relu",
+        "output-node name=output input=tdnn1.batchnorm objective=linear",
+    ]
+    for line in lines:
+        out.write(line.encode() + b"\n")
+    out.write(b"\n")
+    _w_token(out, "<NumComponents>")
+    _w_int(out, 3)
+
+    # affine with every optional UpdatableComponent token present
+    _w_token(out, "<ComponentName>")
+    _w_token(out, "tdnn1.affine")
+    _w_token(out, "<NaturalGradientAffineComponent>")
+    _w_token(out, "<LearningRateFactor>")
+    _w_float(out, 0.2)
+    _w_token(out, "<IsGradient>")
+    out.write(b"F")
+    _w_token(out, "<MaxChange>")
+    _w_float(out, 0.75)
+    _w_token(out, "<LearningRate>")
+    _w_float(out, 0.001)
+    _w_token(out, "<LinearParams>")
+    _w_fm(out, w)
+    _w_token(out, "<BiasParams>")
+    _w_fv(out, b)
+    for tok, val in (("<RankIn>", 20), ("<RankOut>", 80), ("<UpdatePeriod>", 4)):
+        _w_token(out, tok)
+        _w_int(out, val)
+    _w_token(out, "<NumSamplesHistory>")
+    _w_float(out, 2000.0)
+    _w_token(out, "<Alpha>")
+    _w_float(out, 4.0)
+    _w_token(out, "</NaturalGradientAffineComponent>")
+    out.write(b"\n")
+
+    # relu with self-repair scalars and avg stats
+    _w_token(out, "<ComponentName>")
+    _w_token(out, "tdnn1.relu")
+    _w_token(out, "<RectifiedLinearComponent>")
+    _w_token(out, "<Dim>")
+    _w_int(out, dim_out)
+    _w_token(out, "<ValueAvg>")
+    _w_dv(out, np.zeros(dim_out))
+    _w_token(out, "<DerivAvg>")
+    _w_dv(out, np.zeros(dim_out))
+    _w_token(out, "<Count>")
+    _w_double(out, 1234.0)
+    _w_token(out, "<NumDimsSelfRepaired>")
+    _w_double(out, 0.0)
+    _w_token(out, "<NumDimsProcessed>")
+    _w_double(out, 0.0)
+    _w_token(out, "<SelfRepairScale>")
+    _w_float(out, 1e-5)
+    _w_token(out, "</RectifiedLinearComponent>")
+    out.write(b"\n")
+
+    _w_token(out, "<ComponentName>")
+    _w_token(out, "tdnn1.batchnorm")
+    _w_token(out, "<BatchNormComponent>")
+    _w_token(out, "<Dim>")
+    _w_int(out, dim_out)
+    _w_token(out, "<BlockDim>")
+    _w_int(out, dim_out)
+    _w_token(out, "<Epsilon>")
+    _w_float(out, 1e-3)
+    _w_token(out, "<TargetRms>")
+    _w_float(out, 1.0)
+    _w_token(out, "<TestMode>")
+    out.write(b"T")
+    _w_token(out, "<Count>")
+    _w_double(out, 500.0)
+    _w_token(out, "<StatsMean>")
+    _w_dv(out, mean)
+    _w_token(out, "<StatsVar>")
+    _w_dv(out, var)
+    _w_token(out, "</BatchNormComponent>")
+    out.write(b"\n")
+    _w_token(out, "</Nnet3>")
+
+    path = str(tmp_path / "fixture.raw")
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+    nnet = read_nnet3_raw(path)
+    assert nnet.input_dim() == dim_in
+    aff = nnet.components["tdnn1.affine"]
+    np.testing.assert_array_equal(aff.matrix("LinearParams"), w)
+    np.testing.assert_array_equal(aff.vector("BiasParams"), b)
+    assert aff.scalar_float("LearningRateFactor") == pytest.approx(0.2)
+    assert aff.fields["IsGradient"] is False
+    bn = nnet.components["tdnn1.batchnorm"]
+    np.testing.assert_allclose(bn.vector("StatsMean"), mean)
+    assert bn.fields["TestMode"] is True
+    relu = nnet.components["tdnn1.relu"]
+    assert relu.scalar_float("Count") == pytest.approx(1234.0)
+
+    kernel, bias, scale, m_out, v_out = nnet3._import_rbn(nnet, "tdnn1")
+    assert kernel.shape == (3, dim_in, dim_out)
+    # offset -1 tap is the first kernel slice
+    np.testing.assert_allclose(kernel[0], w[:, :dim_in].T)
+    np.testing.assert_allclose(kernel[2], w[:, 2 * dim_in :].T)
+    np.testing.assert_allclose(m_out, mean.astype(np.float32))
+    # eps matches ours -> scale is exactly target_rms
+    np.testing.assert_allclose(scale, np.ones(dim_out), rtol=1e-6)
+
+
+# ----------------------------------------------------------------- errors
+
+
+def test_text_model_rejected(tmp_path):
+    p = tmp_path / "text.raw"
+    p.write_text("<Nnet3>\ninput-node name=input dim=23\n")
+    with pytest.raises(Nnet3ParseError, match="binary"):
+        read_nnet3_raw(str(p))
+
+
+def test_mdl_file_rejected(tmp_path):
+    p = tmp_path / "final.mdl"
+    p.write_bytes(b"\x00B<TransitionModel> junk")
+    with pytest.raises(Nnet3ParseError, match="nnet3-am-copy"):
+        read_nnet3_raw(str(p))
+
+
+def test_log_count_stats_rejected(tmp_path, rng):
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    path = str(tmp_path / "x.raw")
+    export_kaldi_raw(variables, "v2", path)
+    nnet = read_nnet3_raw(path)
+    pool = next(c for c in nnet.components.values()
+                if c.type == "StatisticsPoolingComponent")
+    pool.fields["NumLogCountFeatures"] = nnet3._Scalar(struct.pack("<i", 1))
+    p2 = str(tmp_path / "y.raw")
+    nnet3.write_nnet3_raw(nnet, p2)
+    with pytest.raises(Nnet3ParseError, match="log-count"):
+        import_kaldi_raw(p2)
+
+
+def test_dim_mismatch_is_loud(tmp_path, rng):
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    path = str(tmp_path / "x.raw")
+    export_kaldi_raw(variables, "v2", path)
+    nnet = read_nnet3_raw(path)
+    aff = nnet.components["tdnn4.affine"]
+    aff.fields["LinearParams"] = np.zeros((16, 99), np.float32)
+    p2 = str(tmp_path / "bad.raw")
+    nnet3.write_nnet3_raw(nnet, p2)
+    with pytest.raises(Nnet3ParseError):
+        import_kaldi_raw(p2)
+
+
+def test_detect_arch_names():
+    from sepi_tpu.utils.nnet3 import KaldiComponent, KaldiNnet
+
+    def nn(names):
+        comps = {f"{n}.affine": KaldiComponent(f"{n}.affine", "X", {})
+                 for n in names}
+        if "output" in names or True:
+            comps["output.affine"] = KaldiComponent("output.affine", "X", {})
+        return KaldiNnet([], comps, list(comps))
+
+    assert detect_arch(nn(["tdnn1", "tdnn2", "tdnn6", "tdnn7"])) == "v2"
+    assert detect_arch(nn(["tdnn1", "tdnn5"])) == "am"
+    assert detect_arch(nn(["tdnn1", "tdnn2_am", "tdnn2_xvec"])) == "v3"
+    assert detect_arch(nn(["tdnn1", "tdnn5", "tdnn1_xvec", "tdnn7_xvec"])) == "v4"
+    assert detect_arch(nn(["tdnn1_share", "tdnn2_am", "tdnn2_xvec"])) == "v5"
+
+
+def test_cli_import_export_roundtrip(tmp_path, rng):
+    from sepi_tpu.cli import main
+
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    raw1 = str(tmp_path / "final.raw")
+    export_kaldi_raw(variables, "v2", raw1)
+
+    outdir = str(tmp_path / "imported")
+    assert main(["import-kaldi", "--raw", raw1, "--out", outdir]) == 0
+    assert (tmp_path / "imported" / "variables.msgpack").exists()
+    import json
+
+    meta = json.loads((tmp_path / "imported" / "meta.json").read_text())
+    assert meta["arch"] == "v2"
+
+    raw2 = str(tmp_path / "back.raw")
+    assert main(["export-kaldi", "--model", f"{outdir}/variables.msgpack",
+                 "--arch", "v2", "--out", raw2]) == 0
+    m1, v1, _ = import_kaldi_raw(raw1)
+    m2, v2, _ = import_kaldi_raw(raw2)
+    assert_forward_close(m1, v1, m2, v2, rng)
+
+
+# ------------------------------------------------- extraction integration
+
+
+def test_imported_model_extracts(tmp_path, rng):
+    """An imported v2 model drops straight into EmbeddingExtractor."""
+    from sepi_tpu.extract import EmbeddingExtractor
+
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    path = str(tmp_path / "final.raw")
+    export_kaldi_raw(variables, "v2", path)
+    model2, vars2, _ = import_kaldi_raw(path)
+
+    feats = {f"utt{i}": rng.normal(size=(80 + 7 * i, FEAT)).astype(np.float32)
+             for i in range(3)}
+    ours = EmbeddingExtractor(model, variables,
+                              min_frames=model.cfg.min_frames).extract_utterances(feats)
+    theirs = EmbeddingExtractor(model2, vars2,
+                                min_frames=model2.cfg.min_frames).extract_utterances(feats)
+    for u in feats:
+        np.testing.assert_allclose(ours[u], theirs[u], rtol=2e-5, atol=2e-5)
