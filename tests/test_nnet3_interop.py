@@ -458,6 +458,50 @@ def test_cli_import_export_roundtrip(tmp_path, rng):
     assert_forward_close(m1, v1, m2, v2, rng)
 
 
+def test_import_finetune_export_cycle(tmp_path, rng):
+    """The full migration loop: Kaldi raw -> import -> continue training
+    (the v4-style fine-tune entry) -> checkpoint -> export-kaldi on the
+    trainer checkpoint -> re-import still forwards."""
+    import jax.numpy as jnp
+
+    from sepi_tpu.cli import main
+    from sepi_tpu.config import OptimizerConfig
+    from sepi_tpu.train import build_optimizer, create_train_state
+    from sepi_tpu.train.checkpoint import save_checkpoint
+    from sepi_tpu.train.trainer import make_xvec_step
+
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    raw = str(tmp_path / "final.raw")
+    export_kaldi_raw(variables, "v2", raw)
+    model2, vars2, _ = import_kaldi_raw(raw)
+
+    tx, _ = build_optimizer(OptimizerConfig(preconditioner="none"), 100)
+    feats = jnp.asarray(rng.normal(size=(8, 64, FEAT)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 11, size=8).astype(np.int32))
+    state = create_train_state(model2, tx, jax.random.PRNGKey(0), feats)
+    # adopt the imported weights (pytree shapes match by construction)
+    state = state.replace(params=vars2["params"],
+                          batch_stats=vars2["batch_stats"])
+    step = make_xvec_step(model2, tx)
+    objf0 = None
+    for _ in range(5):
+        state, metrics = step(state, feats, labels, 1.0)
+        objf0 = objf0 if objf0 is not None else float(metrics["objf"])
+    assert float(metrics["objf"]) > objf0  # it actually trains
+
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(state, ckdir, int(state.step))
+    raw2 = str(tmp_path / "tuned.raw")
+    assert main(["export-kaldi", "--model", f"{ckdir}/ckpt_{int(state.step)}.msgpack",
+                 "--arch", "v2", "--out", raw2]) == 0
+    m3, v3, _ = import_kaldi_raw(raw2)
+    assert_forward_close(model2,
+                         {"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         m3, v3, rng)
+
+
 # ------------------------------------------------- extraction integration
 
 
