@@ -360,12 +360,19 @@ def read_nnet3_raw(path: str) -> KaldiNnet:
             f"{path}: this is an .mdl (TransitionModel + AmNnet); extract "
             "the raw network first: `nnet3-am-copy --raw=true final.mdl "
             "final.raw`")
+    if first == "<Nnet>":
+        raise Nnet3ParseError(
+            f"{path}: this is a *nnet2* model (the v1 DNN/i-vector recipe's "
+            "format); nnet2 import is not supported — train the equivalent "
+            "p-norm multisplice net natively with recipes.nnet2_recipe")
     if first != "<Nnet3>":
         raise Nnet3ParseError(f"{path}: expected <Nnet3>, got {first!r}")
 
     # Node section: text config lines up to a blank line.
     config_lines: List[str] = []
     while True:
+        if r.pos >= len(r.buf):
+            raise Nnet3ParseError(f"{path}: EOF inside the node-config section")
         line = r.read_line().strip()
         if line:
             config_lines.append(line)

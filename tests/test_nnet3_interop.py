@@ -417,6 +417,61 @@ def test_dim_mismatch_is_loud(tmp_path, rng):
         import_kaldi_raw(p2)
 
 
+def test_nnet2_model_rejected(tmp_path):
+    p = tmp_path / "nnet2.mdl"
+    p.write_bytes(b"\x00B<Nnet> junk")
+    with pytest.raises(Nnet3ParseError, match="nnet2"):
+        read_nnet3_raw(str(p))
+
+
+def test_truncation_fuzz(tmp_path, rng):
+    """Every truncation point of a valid file raises Nnet3ParseError (or
+    parses the shorter-but-valid prefix never silently mis-parses) —
+    no hangs, no struct exceptions, no silent partial models."""
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    path = str(tmp_path / "x.raw")
+    export_kaldi_raw(variables, "v2", path)
+    data = open(path, "rb").read()
+    # len-1 cuts only the cosmetic trailing space after </Nnet3> (the
+    # model is complete), so the deepest must-fail cut is len-2
+    cuts = sorted(set(
+        list(range(0, 200, 17))
+        + list(rng.integers(0, len(data) - 1, size=60))
+        + [len(data) - 2]
+    ))
+    p2 = str(tmp_path / "cut.raw")
+    for cut in cuts:
+        with open(p2, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(Nnet3ParseError):
+            read_nnet3_raw(p2)
+
+
+def test_byte_corruption_fuzz(tmp_path, rng):
+    """Random single-byte corruptions either still parse (payload bytes)
+    or raise Nnet3ParseError — never crash with a non-library error."""
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    path = str(tmp_path / "x.raw")
+    export_kaldi_raw(variables, "v2", path)
+    data = bytearray(open(path, "rb").read())
+    p2 = str(tmp_path / "corrupt.raw")
+    for _ in range(80):
+        pos = int(rng.integers(2, len(data)))
+        old = data[pos]
+        data[pos] = int(rng.integers(0, 256))
+        with open(p2, "wb") as f:
+            f.write(bytes(data))
+        try:
+            read_nnet3_raw(p2)
+        except Nnet3ParseError:
+            pass
+        except MemoryError:
+            pass  # a corrupted dim field may request a huge buffer; _take guards
+        data[pos] = old
+
+
 def test_detect_arch_names():
     from sepi_tpu.utils.nnet3 import KaldiComponent, KaldiNnet
 
