@@ -265,15 +265,24 @@ class CombinedConfig:
     num_speakers: int = 0
     num_senones: int = 4000
     am: AmConfig = AM_BOTTLENECK  # the *pretrained* bottleneck provider
+    # 1..3 shared trunk layers (train_cvector_with_am.sh and its
+    # _2share/_3share variants: shared tdnn1_share[..tdnn3_share], both
+    # branches fork after the last shared layer)
+    num_shared: int = 1
     embed_dim: int = 512
     hidden_dim: int = 512
     pool_dim: int = 1500
 
     @property
+    def shared_specs(self) -> Tuple[TdnnSpec, ...]:
+        return _prefix(self.hidden_dim)[: self.num_shared]
+
+    @property
     def am_context(self) -> Tuple[int, int]:
-        """Context of the multitask AM head (shared tdnn1 + am branch) —
+        """Context of the multitask AM head (shared trunk + am branch) —
         the frame-egs context for the am task (vars_am analog)."""
-        return stack_context(_prefix(self.hidden_dim)[:1] + _am_branch(1, self.hidden_dim))
+        return stack_context(
+            self.shared_specs + _am_branch(self.num_shared, self.hidden_dim))
 
     @property
     def xvec_context(self) -> Tuple[int, int]:
@@ -282,8 +291,8 @@ class CombinedConfig:
         elementwise max of the two (Stream accounting, vars_xvec analog —
         with default specs (13, 7), dominated by the AM feed)."""
         xl, xr = stack_context(
-            _prefix(self.hidden_dim)[:1]
-            + _xvec_branch(1, self.hidden_dim, self.pool_dim)[:-1]
+            self.shared_specs
+            + _xvec_branch(self.num_shared, self.hidden_dim, self.pool_dim)[:-1]
         )
         al, ar = self.am.context
         return (max(xl, al), max(xr, ar))
@@ -314,13 +323,13 @@ class CombinedCVector(nn.Module):
         bm = self.bn_momentum
         dt = self.dtype
         shared = TdnnStack(
-            _prefix(cfg.hidden_dim)[:1], bn_momentum=bm, dtype=dt, name="shared"
+            cfg.shared_specs, bn_momentum=bm, dtype=dt, name="shared"
         )(Stream(feats, 0, 0), train)
         out = {}
         if task in ("am", "both"):
             am_b = TdnnStack(
-                _am_branch(1, cfg.hidden_dim), bn_momentum=bm, dtype=dt,
-                name="am_branch"
+                _am_branch(cfg.num_shared, cfg.hidden_dim), bn_momentum=bm,
+                dtype=dt, name="am_branch"
             )(shared, train)
             out["am_logits"] = nn.Dense(cfg.num_senones, name="output_am")(am_b.x)
             out["am_context"] = (am_b.left, am_b.right)
@@ -328,7 +337,7 @@ class CombinedCVector(nn.Module):
             pre = AmNet(cfg.am, bn_momentum=bm, dtype=dt, name="am")(
                 feats, train, with_logits=False)
             xv = TdnnStack(
-                _xvec_branch(1, cfg.hidden_dim, cfg.pool_dim)[:-1],
+                _xvec_branch(cfg.num_shared, cfg.hidden_dim, cfg.pool_dim)[:-1],
                 bn_momentum=bm,
                 dtype=dt,
                 name="xvec_branch",

@@ -600,6 +600,15 @@ def _num_shared(nnet: KaldiNnet, suffix: str) -> int:
     raise Nnet3ParseError(f"no tdnn*{suffix} branch found")
 
 
+def _num_shared_v5(nnet: KaldiNnet) -> int:
+    """v5: shared layers are tdnn1_share..tdnnK_share (_2share/_3share)."""
+    names = set(nnet.components)
+    k = sum(1 for i in range(1, 5) if f"tdnn{i}_share.affine" in names)
+    if not k:
+        raise Nnet3ParseError("no tdnn*_share layers found")
+    return k
+
+
 @dataclasses.dataclass(frozen=True)
 class _LayerMap:
     flax_path: Tuple[str, ...]  # under params/, e.g. ("frames", "tdnn1")
@@ -661,16 +670,19 @@ def _adapted_maps() -> List[_LayerMap]:
     return maps
 
 
-def _combined_maps() -> List[_LayerMap]:
-    maps = [_LayerMap(("shared", "tdnn1"), "tdnn1_share", "rbn")]
-    for j, k in enumerate(range(2, 8), start=1):
+def _combined_maps(num_shared: int = 1) -> List[_LayerMap]:
+    maps = [
+        _LayerMap(("shared", f"tdnn{j}"), f"tdnn{j}_share", "rbn")
+        for j in range(1, num_shared + 1)
+    ]
+    for j, k in enumerate(range(num_shared + 1, 8), start=1):
         maps.append(_LayerMap(("am_branch", f"tdnn{j}"), f"tdnn{k}_am", "rbn"))
     maps.append(_LayerMap(("output_am",), "output_am", "output"))
     maps += [
         _LayerMap(("am", "frames", f"tdnn{i}"), f"tdnn{i}", "rbn")
         for i in range(1, 6)
     ]
-    for j, k in enumerate(range(2, 5), start=1):
+    for j, k in enumerate(range(num_shared + 1, 5), start=1):
         maps.append(_LayerMap(("xvec_branch", f"tdnn{j}"), f"tdnn{k}_xvec", "rbn"))
     maps += [
         _LayerMap(("tdnn5",), "tdnn5_xvec", "rbn"),
@@ -692,7 +704,8 @@ def _arch_maps(arch: str, nnet: Optional[KaldiNnet] = None) -> List[_LayerMap]:
     if arch == "v4":
         return _adapted_maps()
     if arch == "v5":
-        return _combined_maps()
+        ns = _num_shared_v5(nnet) if nnet is not None else 1
+        return _combined_maps(ns)
     raise ValueError(f"unknown arch {arch!r}")
 
 
@@ -905,7 +918,8 @@ def _build_model(arch: str, nnet: KaldiNnet):
         cfg = dataclasses.replace(
             CombinedConfig(), feat_dim=feat_dim,
             num_speakers=rows("output"), num_senones=rows("output_am"),
-            am=am_cfg, hidden_dim=rows("tdnn1_share"),
+            am=am_cfg, num_shared=_num_shared_v5(nnet),
+            hidden_dim=rows("tdnn1_share"),
             pool_dim=rows("tdnn5_xvec"), embed_dim=rows("tdnn6_xvec"))
         return CombinedCVector(cfg), cfg
     raise ValueError(arch)
@@ -1018,8 +1032,12 @@ def export_kaldi_raw(variables, arch: str, path: str,
     variables = jax.tree_util.tree_map(np.asarray, variables)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
-    maps = _arch_maps(arch, None) if arch != "v3" else _multitask_maps(
-        _infer_num_shared_from_params(params))
+    if arch == "v3":
+        maps = _multitask_maps(_infer_num_shared_from_params(params))
+    elif arch == "v5":
+        maps = _combined_maps(_infer_num_shared_from_params(params))
+    else:
+        maps = _arch_maps(arch, None)
 
     components: Dict[str, KaldiComponent] = {}
     order: List[str] = []
@@ -1179,17 +1197,20 @@ def _graph_lines(arch: str, maps, params, dims: Dict[str, int],
         lines += _output_lines("output", bn("tdnn7_xvec"))
     elif arch in ("v4", "v5"):
         if arch == "v5":
-            lines += _rbn_lines("tdnn1_share",
-                                _splice_desc("input", _PREFIX_OFFSETS[0]))
-            shared_out = bn("tdnn1_share")
-            prev = shared_out
-            for k in range(2, 8):
+            ns = _infer_num_shared_from_params(params)
+            prev = "input"
+            for j in range(1, ns + 1):
+                lines += _rbn_lines(f"tdnn{j}_share",
+                                    _splice_desc(prev, _PREFIX_OFFSETS[j - 1]))
+                prev = bn(f"tdnn{j}_share")
+            shared_out = prev
+            for k in range(ns + 1, 8):
                 offs = _PREFIX_OFFSETS[k - 1] if k <= 4 else (0,)
                 lines += _rbn_lines(f"tdnn{k}_am", _splice_desc(prev, offs))
                 prev = bn(f"tdnn{k}_am")
             lines += _output_lines("output_am", prev)
             xvec_src = shared_out
-            xvec_range = range(2, 5)
+            xvec_range = range(ns + 1, 5)
         else:
             xvec_src = "input"
             xvec_range = range(1, 5)
@@ -1201,10 +1222,8 @@ def _graph_lines(arch: str, maps, params, dims: Dict[str, int],
         am_node = bn("tdnn5")
         prev = xvec_src
         for k in xvec_range:
-            offs = _PREFIX_OFFSETS[k - 1]
-            if arch == "v5" and k > 1:
-                offs = _PREFIX_OFFSETS[k - 1]
-            lines += _rbn_lines(f"tdnn{k}_xvec", _splice_desc(prev, offs))
+            lines += _rbn_lines(f"tdnn{k}_xvec",
+                                _splice_desc(prev, _PREFIX_OFFSETS[k - 1]))
             prev = bn(f"tdnn{k}_xvec")
         lines += _rbn_lines("tdnn5_xvec", f"Append({prev}, {am_node})")
         stats_name = "stats" if arch == "v4" else "stats_xvec"

@@ -183,6 +183,27 @@ def test_v3_num_shared_2_roundtrip(tmp_path, rng):
     assert_forward_close(model, variables, model2, vars2, rng, task="both")
 
 
+def test_v5_num_shared_2_roundtrip(tmp_path, rng):
+    """train_cvector_with_am_2share.sh graph: tdnn1_share+tdnn2_share,
+    branches fork at tdnn3_*."""
+    cfg = dataclasses.replace(
+        CombinedConfig(), feat_dim=FEAT, num_speakers=5, num_senones=9,
+        num_shared=2, am=dataclasses.replace(tiny_am_cfg(), num_senones=0),
+        hidden_dim=16, pool_dim=24, embed_dim=12)
+    model = CombinedCVector(cfg)
+    variables = randomize_bn(init_model(model, task="both"), rng)
+    path = str(tmp_path / "v5s2.raw")
+    export_kaldi_raw(variables, "v5", path)
+    nnet = read_nnet3_raw(path)
+    assert "tdnn2_share.affine" in nnet.components
+    assert "tdnn3_am.affine" in nnet.components
+    assert "tdnn2_am.affine" not in nnet.components
+    model2, vars2, arch = import_kaldi_raw(path)
+    assert arch == "v5"
+    assert model2.cfg.num_shared == 2
+    assert_forward_close(model, variables, model2, vars2, rng, task="both")
+
+
 def test_epsilon_target_rms_folding(tmp_path, rng):
     """Two files whose (var, eps) pairs normalize identically must import
     to identical forwards: var' = var + (eps - eps') keeps var+eps fixed."""
