@@ -263,11 +263,15 @@ def prep_ldc_main(argv) -> int:
 
 
 def interop_main(cmd: str, argv) -> int:
-    """`python -m sepi_tpu import-kaldi|export-kaldi`: nnet3 raw model
-    interop (utils/nnet3.py).  import-kaldi loads a Kaldi-trained v1-v5
-    `final.raw` (`run_xvector_new.sh:131-150`) into sepi_tpu variables;
-    export-kaldi writes a sepi_tpu model (an imported variables.msgpack
-    or a trainer ckpt_*.msgpack) back to a Kaldi-readable raw file."""
+    """`python -m sepi_tpu import-kaldi|export-kaldi`: trained-artifact
+    interop.  import-kaldi sniffs the object kind and loads a
+    Kaldi-trained v1-v5 nnet3 `final.raw` (utils/nnet3.py,
+    `run_xvector_new.sh:131-150`) into sepi_tpu variables, or a classical
+    artifact — `final.dubm`/`final.ubm`/`final.ie`/`plda`
+    (utils/kaldi_models.py, `v1/run_sre10.sh:89-160`) — into a model.npz;
+    export-kaldi writes either back to the Kaldi wire format (a
+    variables.msgpack / ckpt_*.msgpack needs --arch; a model.npz carries
+    its kind)."""
     import json
 
     import flax.serialization
@@ -275,15 +279,26 @@ def interop_main(cmd: str, argv) -> int:
     p = argparse.ArgumentParser(prog=f"sepi_tpu {cmd}",
                                 description=interop_main.__doc__)
     if cmd == "import-kaldi":
-        p.add_argument("--raw", required=True, help="Kaldi nnet3 raw model")
+        p.add_argument("--raw", required=True,
+                       help="Kaldi nnet3 raw model or classical artifact "
+                            "(final.dubm/final.ubm/final.ie/plda)")
         p.add_argument("--arch", default=None,
                        choices=["am", "v2", "v3", "v4", "v5"],
-                       help="override auto-detection")
+                       help="override auto-detection (nnet3 models only)")
         p.add_argument("--out", required=True, help="output directory")
         args = p.parse_args(argv)
         import dataclasses as _dc
 
+        from .utils.kaldi_models import sniff_kaldi_object
         from .utils.nnet3 import import_kaldi_raw
+
+        kind = sniff_kaldi_object(args.raw)
+        if kind in ("diag_ubm", "full_ubm", "ivector_extractor", "plda"):
+            return _import_classical(args.raw, kind, args.out)
+        if kind in ("nnet2", "transition_model"):
+            # an .mdl leads with <TransitionModel> whether nnet2 or nnet3;
+            # the nnet2 reader detects and reports the nnet3 case
+            return _import_nnet2(args.raw, args.out)
 
         model, variables, arch = import_kaldi_raw(args.raw, args.arch)
         os.makedirs(args.out, exist_ok=True)
@@ -302,11 +317,19 @@ def interop_main(cmd: str, argv) -> int:
 
     p.add_argument("--model", required=True,
                    help="variables.msgpack (from import-kaldi) or a "
-                        "trainer ckpt_*.msgpack")
-    p.add_argument("--arch", required=True,
-                   choices=["am", "v2", "v3", "v4", "v5"])
+                        "trainer ckpt_*.msgpack, or a classical model.npz "
+                        "(from import-kaldi)")
+    p.add_argument("--arch", default=None,
+                   choices=["am", "v2", "v3", "v4", "v5"],
+                   help="required for nnet3 msgpack models; ignored for "
+                        "classical .npz")
     p.add_argument("--out", required=True, help="output raw path")
     args = p.parse_args(argv)
+    if args.model.endswith(".npz"):
+        return _export_classical(args.model, args.out)
+    if args.arch is None:
+        raise SystemExit("--arch is required when exporting an nnet3 "
+                         "msgpack model")
     from .utils.nnet3 import export_kaldi_raw
 
     with open(args.model, "rb") as f:
@@ -325,6 +348,105 @@ def _tree_leaves_np(tree):
     import jax
 
     return [np.asarray(l) for l in jax.tree_util.tree_leaves(tree)]
+
+
+def _import_nnet2(path: str, out_dir: str) -> int:
+    """Load a nnet2 final.mdl (the v1 DNN/i-vector acoustic model) into
+    <out>/variables.msgpack + meta.json for nnet2_recipe.nnet2_posteriors."""
+    import dataclasses as _dc
+    import json
+
+    import flax.serialization
+
+    from .utils.nnet2_io import import_kaldi_nnet2
+
+    model, variables, cfg, priors = import_kaldi_nnet2(path)
+    os.makedirs(out_dir, exist_ok=True)
+    vpath = os.path.join(out_dir, "variables.msgpack")
+    with open(vpath, "wb") as f:
+        f.write(flax.serialization.to_bytes(variables))
+    if priors is not None:
+        np.save(os.path.join(out_dir, "priors.npy"), priors)
+    meta = {"arch": "nnet2", "source": os.path.abspath(path),
+            "config": _dc.asdict(cfg)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    n_params = sum(int(np.prod(l.shape)) for l in
+                   _tree_leaves_np(variables["params"]))
+    print(f"imported nnet2 p-norm multisplice model ({n_params} params) "
+          f"-> {vpath}", flush=True)
+    return 0
+
+
+def _import_classical(path: str, kind: str, out_dir: str) -> int:
+    """Load a classical Kaldi artifact into <out>/model.npz + meta.json."""
+    import json
+
+    from .utils import kaldi_models as km
+
+    os.makedirs(out_dir, exist_ok=True)
+    if kind == "diag_ubm":
+        g = km.read_diag_ubm(path)
+        arrays = {"weights": np.asarray(g.weights), "means": np.asarray(g.means),
+                  "vars": np.asarray(g.vars)}
+        desc = f"DiagGmm K={g.num_comp} D={g.dim}"
+    elif kind == "full_ubm":
+        g = km.read_full_ubm(path)
+        arrays = {"weights": np.asarray(g.weights), "means": np.asarray(g.means),
+                  "covars": np.asarray(g.covars)}
+        desc = f"FullGmm K={g.num_comp} D={g.dim}"
+    elif kind == "ivector_extractor":
+        ext, meta = km.read_ivector_extractor(path)
+        arrays = {"t": np.asarray(ext.t), "whitener": np.asarray(ext.whitener),
+                  "means": np.asarray(ext.means),
+                  "prior_offset": np.float64(meta.prior_offset),
+                  "w": meta.w, "w_vec": meta.w_vec}
+        desc = (f"IvectorExtractor K={ext.t.shape[0]} D={ext.t.shape[1]} "
+                f"M={ext.ivector_dim}")
+    else:  # plda
+        pl = km.read_plda(path)
+        arrays = {"mean": pl.mean, "transform": pl.transform, "psi": pl.psi}
+        desc = f"Plda D={pl.dim}"
+    npz = os.path.join(out_dir, "model.npz")
+    np.savez(npz, kind=kind, **arrays)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"kind": kind, "source": os.path.abspath(path)}, f, indent=2)
+    print(f"imported {desc} -> {npz}", flush=True)
+    return 0
+
+
+def _export_classical(npz_path: str, out: str) -> int:
+    """Write a classical model.npz back to the Kaldi wire format."""
+    import jax.numpy as jnp
+
+    from .backend.plda import Plda
+    from .classical.gmm import DiagGmm, FullGmm
+    from .classical.ivector import IvectorExtractor
+    from .utils import kaldi_models as km
+
+    z = np.load(npz_path)
+    kind = str(z["kind"])
+    if kind == "diag_ubm":
+        km.write_diag_ubm(out, DiagGmm(jnp.asarray(z["weights"]),
+                                       jnp.asarray(z["means"]),
+                                       jnp.asarray(z["vars"])))
+    elif kind == "full_ubm":
+        km.write_full_ubm(out, FullGmm(jnp.asarray(z["weights"]),
+                                       jnp.asarray(z["means"]),
+                                       jnp.asarray(z["covars"])))
+    elif kind == "ivector_extractor":
+        ext = IvectorExtractor(jnp.asarray(z["t"]), jnp.asarray(z["whitener"]),
+                               jnp.asarray(z["means"]))
+        meta = km.IvectorExtractorMeta(float(z["prior_offset"]), z["w"],
+                                       z["w_vec"])
+        km.write_ivector_extractor(out, ext, meta,
+                                   prior_offset=float(z["prior_offset"]))
+    elif kind == "plda":
+        km.write_plda(out, Plda(z["mean"], z["transform"], z["psi"]))
+    else:
+        raise SystemExit(f"{npz_path}: unknown classical kind {kind!r}")
+    print(f"wrote Kaldi {kind} {out}", flush=True)
+    return 0
 
 
 def gauntlet_main(argv) -> int:

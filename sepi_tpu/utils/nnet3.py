@@ -363,8 +363,8 @@ def read_nnet3_raw(path: str) -> KaldiNnet:
     if first == "<Nnet>":
         raise Nnet3ParseError(
             f"{path}: this is a *nnet2* model (the v1 DNN/i-vector recipe's "
-            "format); nnet2 import is not supported — train the equivalent "
-            "p-norm multisplice net natively with recipes.nnet2_recipe")
+            "format) — import it with utils.nnet2_io.import_kaldi_nnet2 "
+            "(the CLI dispatches there automatically)")
     if first != "<Nnet3>":
         raise Nnet3ParseError(f"{path}: expected <Nnet3>, got {first!r}")
 
