@@ -295,10 +295,16 @@ def interop_main(cmd: str, argv) -> int:
         kind = sniff_kaldi_object(args.raw)
         if kind in ("diag_ubm", "full_ubm", "ivector_extractor", "plda"):
             return _import_classical(args.raw, kind, args.out)
-        if kind in ("nnet2", "transition_model"):
-            # an .mdl leads with <TransitionModel> whether nnet2 or nnet3;
-            # the nnet2 reader detects and reports the nnet3 case
+        if kind == "nnet2":
             return _import_nnet2(args.raw, args.out)
+        if kind == "transition_model":
+            # an .mdl leads with <TransitionModel> whether nnet2 or nnet3;
+            # peek for the wrapped net's version token
+            with open(args.raw, "rb") as f:
+                blob = f.read()
+            if b"<Nnet3> " not in blob:
+                return _import_nnet2(args.raw, args.out)
+            # else: fall through — import_kaldi_raw handles .mdl directly
 
         model, variables, arch = import_kaldi_raw(args.raw, args.arch)
         os.makedirs(args.out, exist_ok=True)
@@ -466,16 +472,39 @@ def gauntlet_main(argv) -> int:
     p.add_argument("--variants", default="v1,v2,v3,v4,v5")
     p.add_argument("--ablations", action="store_true",
                    help="also run the adaptation + augmentation ablations")
+    p.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                   help="paired speaker-level bootstrap with N replicates: "
+                        "pins the v2-vs-phonetic ordering with a 95%% CI "
+                        "(the paired delta has far smaller se than either "
+                        "EER alone)")
+    p.add_argument("--eval-speakers", type=int, default=0,
+                   help="override the scale's eval population — the "
+                        "statistical-power knob: training is unchanged "
+                        "(checkpoints resume), only extraction/backend "
+                        "re-run on the larger trial set")
     args = p.parse_args(argv)
     from .recipes.gauntlet import (
-        CI_SCALE, HW_SCALE, format_table,
+        CI_SCALE, HW_SCALE, format_table, make_gauntlet_data,
+        paired_speaker_bootstrap,
         run_adaptation_ablation, run_augmentation_ablation, run_gauntlet,
     )
 
     scale = CI_SCALE if args.scale == "ci" else HW_SCALE
+    if args.eval_speakers:
+        import dataclasses as _dc
+
+        scale = _dc.replace(scale, num_eval_speakers=args.eval_speakers)
     results = run_gauntlet(args.workdir, scale,
                            variants=tuple(args.variants.split(",")))
     print(format_table(results), flush=True)
+    if args.bootstrap:
+        data = make_gauntlet_data(scale)
+        utt2spk = {u.utt_id: u.spk_id for u in data.eval.dataset}
+        pairs = [("v2", v) for v in ("v3", "v4", "v5") if v in results]
+        if "v2" in results and pairs:
+            for c in paired_speaker_bootstrap(results, data.trials, utt2spk,
+                                              pairs, n_boot=args.bootstrap):
+                print(f"bootstrap: {c.line()}", flush=True)
     if args.ablations:
         r = run_adaptation_ablation(args.workdir, scale)
         print(f"adaptation: plain EER {r['plain'].pooled.eer*100:.2f}% -> "

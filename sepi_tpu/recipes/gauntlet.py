@@ -471,6 +471,110 @@ def run_augmentation_ablation(
     return plain.pooled.eer, aug.pooled.eer
 
 
+def _weighted_eer(scores: np.ndarray, targets: np.ndarray,
+                  order: np.ndarray, weights: np.ndarray) -> float:
+    """EER of a trial-weighted score set (weights = bootstrap
+    multiplicities).  ``order`` is argsort(scores) precomputed by the
+    caller so replicates share the sort."""
+    ys = targets[order]
+    ws = weights[order]
+    cum_tgt = np.cumsum(ws * ys)
+    cum_non = np.cumsum(ws * ~ys)
+    tot_t, tot_n = cum_tgt[-1], cum_non[-1]
+    if tot_t <= 0 or tot_n <= 0:
+        return float("nan")
+    frr = cum_tgt / tot_t  # targets at or below each threshold
+    far = 1.0 - cum_non / tot_n  # nontargets above it
+    k = int(np.searchsorted(frr - far, 0.0))
+    k = min(k, len(frr) - 1)
+    return float(0.5 * (frr[k] + far[k]))
+
+
+@dataclasses.dataclass
+class BootstrapComparison:
+    """Paired-bootstrap summary for 'is system B better than A?'."""
+
+    system_a: str
+    system_b: str
+    eer_a: float
+    eer_b: float
+    delta_mean: float  # mean over replicates of EER_a - EER_b (>0: B wins)
+    ci_low: float  # 2.5th percentile of the delta
+    ci_high: float  # 97.5th percentile
+    p_b_better: float  # fraction of replicates with delta > 0
+
+    def line(self) -> str:
+        return (f"{self.system_b} vs {self.system_a}: "
+                f"dEER {self.delta_mean * 100:+.2f} pts "
+                f"[{self.ci_low * 100:+.2f}, {self.ci_high * 100:+.2f}] "
+                f"P({self.system_b} better) = {self.p_b_better:.3f}")
+
+
+def paired_speaker_bootstrap(
+    results: Dict[str, object],
+    trials: Sequence,
+    utt2spk: Dict[str, str],
+    pairs: Sequence[Tuple[str, str]] = (("v2", "v3"), ("v2", "v4"),
+                                        ("v2", "v5")),
+    n_boot: int = 1000,
+    seed: int = 0,
+) -> List[BootstrapComparison]:
+    """Speaker-level paired bootstrap of EER differences.
+
+    Two systems scored on the SAME trial list have strongly correlated
+    EERs, so the paired DIFFERENCE has a far smaller standard error
+    than either EER alone — this is what lets a ~1-point ordering be
+    pinned at a scale where each EER's own se is ~1 point.  (The
+    reference's acceptance protocol compares systems on one fixed
+    trials key for the same reason, `v2/run_sre10.sh:239-334`; NIST's
+    SRE analyses bootstrap over speakers, the dominant variance unit.)
+
+    Each replicate resamples the eval speakers with replacement and
+    reweights every trial by enroll-speaker multiplicity x test-speaker
+    multiplicity; all systems are re-scored on IDENTICAL replicates and
+    the per-replicate EER deltas summarize into (mean, 95% CI,
+    P(B better)).
+    """
+    spks = sorted({t.model for t in trials}
+                  | {utt2spk[t.test] for t in trials})
+    spk_idx = {s: i for i, s in enumerate(spks)}
+    enr = np.array([spk_idx[t.model] for t in trials])
+    tst = np.array([spk_idx[utt2spk[t.test]] for t in trials])
+    targets = np.array([t.target for t in trials], bool)
+
+    sys_scores = {}
+    for name, res in results.items():
+        s = np.array([res.scores[(t.model, t.test)] for t in trials])
+        sys_scores[name] = (s, np.argsort(s, kind="stable"))
+
+    rng = np.random.default_rng(seed)
+    deltas = {pair: [] for pair in pairs}
+    point = {name: _weighted_eer(s, targets, o, np.ones(len(trials)))
+             for name, (s, o) in sys_scores.items()}
+    for _ in range(n_boot):
+        counts = np.bincount(rng.integers(0, len(spks), len(spks)),
+                             minlength=len(spks)).astype(np.float64)
+        w = counts[enr] * counts[tst]
+        if not (np.any(w * targets) and np.any(w * ~targets)):
+            continue
+        eers = {name: _weighted_eer(s, targets, o, w)
+                for name, (s, o) in sys_scores.items()}
+        for a, b in pairs:
+            if a in eers and b in eers:
+                deltas[(a, b)].append(eers[a] - eers[b])
+    out = []
+    for (a, b), d in deltas.items():
+        if not d or a not in point or b not in point:
+            continue
+        d = np.asarray(d)
+        out.append(BootstrapComparison(
+            a, b, point[a], point[b], float(d.mean()),
+            float(np.percentile(d, 2.5)), float(np.percentile(d, 97.5)),
+            float(np.mean(d > 0)),
+        ))
+    return out
+
+
 def format_table(results: Dict[str, object]) -> str:
     lines = [f"{'system':<8}{'EER%':>8}{'minDCF08':>10}{'DCF10x1e3':>10}"
              f"{'#tgt':>7}{'#non':>7}"]

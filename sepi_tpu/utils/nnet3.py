@@ -356,10 +356,18 @@ def read_nnet3_raw(path: str) -> KaldiNnet:
     r = _Reader(data[2:])
     first = r.read_token()
     if first == "<TransitionModel>":
-        raise Nnet3ParseError(
-            f"{path}: this is an .mdl (TransitionModel + AmNnet); extract "
-            "the raw network first: `nnet3-am-copy --raw=true final.mdl "
-            "final.raw`")
+        # an .mdl (TransitionModel + AmNnetSimple, `nnet3-am-copy` input):
+        # the transition model is alignment-topology baggage this import
+        # has no use for (the s5 stage owns topology here) — skip to the
+        # wrapped <Nnet3> and ignore the trailing contexts/priors.
+        end = r.buf.find(b"</TransitionModel> ", r.pos)
+        nnet_at = r.buf.find(b"<Nnet3> ", max(end, r.pos))
+        if end < 0 or nnet_at < 0:
+            raise Nnet3ParseError(
+                f"{path}: .mdl without a <Nnet3> section — if this is an "
+                "nnet2 model use utils.nnet2_io instead")
+        r.pos = nnet_at
+        first = r.read_token()
     if first == "<Nnet>":
         raise Nnet3ParseError(
             f"{path}: this is a *nnet2* model (the v1 DNN/i-vector recipe's "

@@ -114,3 +114,64 @@ def test_hw_scale_is_fullsize():
     # budget-parity invariant: interleaved budget is exactly 2x
     assert HW_SCALE.mt_steps == 2 * HW_SCALE.steps
     assert dataclasses.asdict(HW_SCALE)  # cache-keyable
+
+
+def test_paired_speaker_bootstrap_detects_ordering():
+    """Bootstrap significance: a genuinely better system gets
+    P(better) ~ 1 with a CI excluding 0; an identical system straddles.
+
+    Scores are synthetic (no training) but trial-structured: shared
+    per-trial noise makes the systems correlated, exactly the situation
+    the PAIRED test exploits."""
+    import types
+
+    import numpy as np
+
+    from sepi_tpu.data.manifest import Trial
+    from sepi_tpu.metrics.det import eer as eer_fn
+    from sepi_tpu.recipes.gauntlet import (
+        _weighted_eer, paired_speaker_bootstrap,
+    )
+
+    rng = np.random.default_rng(0)
+    spks = [f"s{i}" for i in range(40)]
+    utt2spk, trials = {}, []
+    for s in spks:
+        for j in range(8):
+            utt = f"{s}-u{j}"
+            utt2spk[utt] = s
+    utts = sorted(utt2spk)
+    for s in spks:
+        for utt in utts:
+            trials.append(Trial(s, utt, utt2spk[utt] == s))
+
+    tgt = np.array([t.target for t in trials])
+    shared = rng.normal(size=len(trials))  # trial noise common to systems
+    s_a = tgt * 1.1 + shared
+    s_b = tgt * 1.6 + shared + 0.2 * rng.normal(size=len(trials))
+    res = {
+        "v2": types.SimpleNamespace(
+            scores={(t.model, t.test): s_a[i] for i, t in enumerate(trials)}),
+        "v3": types.SimpleNamespace(
+            scores={(t.model, t.test): s_b[i] for i, t in enumerate(trials)}),
+        "same": types.SimpleNamespace(
+            scores={(t.model, t.test): s_a[i] for i, t in enumerate(trials)}),
+    }
+
+    # uniform-weight EER agrees with the DET-module EER
+    order = np.argsort(s_a, kind="stable")
+    w_eer = _weighted_eer(s_a, tgt, order, np.ones(len(trials)))
+    ref = eer_fn(s_a[tgt], s_a[~tgt])
+    assert abs(w_eer - ref) < 0.01
+
+    comps = paired_speaker_bootstrap(
+        res, trials, utt2spk,
+        pairs=(("v2", "v3"), ("v2", "same")), n_boot=400, seed=1)
+    by = {(c.system_a, c.system_b): c for c in comps}
+    better = by[("v2", "v3")]
+    assert better.delta_mean > 0
+    assert better.ci_low > 0, "CI must exclude 0 for a real improvement"
+    assert better.p_b_better > 0.97
+    null = by[("v2", "same")]
+    assert null.ci_low <= 0 <= null.ci_high
+    assert abs(null.delta_mean) < 0.01

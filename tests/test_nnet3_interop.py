@@ -402,10 +402,12 @@ def test_text_model_rejected(tmp_path):
         read_nnet3_raw(str(p))
 
 
-def test_mdl_file_rejected(tmp_path):
+def test_mdl_without_nnet3_section_rejected(tmp_path):
+    """A TransitionModel file with no wrapped <Nnet3> (e.g. an nnet2
+    .mdl) gets a pointed error, not a crash."""
     p = tmp_path / "final.mdl"
-    p.write_bytes(b"\x00B<TransitionModel> junk")
-    with pytest.raises(Nnet3ParseError, match="nnet3-am-copy"):
+    p.write_bytes(b"\x00B<TransitionModel> junk </TransitionModel> <Nnet> ")
+    with pytest.raises(Nnet3ParseError, match="nnet2"):
         read_nnet3_raw(str(p))
 
 
@@ -599,3 +601,48 @@ def test_imported_model_extracts(tmp_path, rng):
                                 min_frames=model2.cfg.min_frames).extract_utterances(feats)
     for u in feats:
         np.testing.assert_allclose(ours[u], theirs[u], rtol=2e-5, atol=2e-5)
+
+
+def test_mdl_wrapper_import(tmp_path, rng):
+    """A final.mdl (TransitionModel + AmNnetSimple wrapper) imports
+    directly — no `nnet3-am-copy --raw` round trip through Kaldi needed.
+    The transition model is skipped; trailing contexts/priors ignored."""
+    import struct
+
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    raw = str(tmp_path / "v2.raw")
+    export_kaldi_raw(variables, "v2", raw)
+    raw_bytes = open(raw, "rb").read()
+    assert raw_bytes[:2] == b"\x00B"
+
+    tm = (b"<TransitionModel> <Junk> \x04" + struct.pack("<i", 3)
+          + b"\x00\x01\x02 </TransitionModel> ")
+    trailer = (b"<LeftContext> \x04" + struct.pack("<i", 7)
+               + b"<RightContext> \x04" + struct.pack("<i", 7))
+    mdl = str(tmp_path / "final.mdl")
+    with open(mdl, "wb") as f:
+        f.write(b"\x00B" + tm + raw_bytes[2:] + trailer)
+
+    model2, vars2, detected = import_kaldi_raw(mdl)
+    assert detected == "v2"
+    assert_forward_close(model, variables, model2, vars2, rng)
+
+
+def test_cli_routes_nnet3_mdl(tmp_path, rng):
+    import struct
+
+    from sepi_tpu.cli import main
+
+    model = XVector(tiny_xvector_cfg())
+    variables = randomize_bn(init_model(model), rng)
+    raw = str(tmp_path / "v2.raw")
+    export_kaldi_raw(variables, "v2", raw)
+    raw_bytes = open(raw, "rb").read()
+    tm = (b"<TransitionModel> <X> \x04" + struct.pack("<i", 1)
+          + b"\xff " + b"</TransitionModel> ")
+    mdl = tmp_path / "final.mdl"
+    mdl.write_bytes(b"\x00B" + tm + raw_bytes[2:])
+    out = tmp_path / "imported"
+    assert main(["import-kaldi", "--raw", str(mdl), "--out", str(out)]) == 0
+    assert (out / "variables.msgpack").exists()
