@@ -385,3 +385,59 @@ def test_cli_classical_import_export(tmp_path):
     g2 = km.read_full_ubm(str(back))
     np.testing.assert_allclose(np.asarray(g2.means), np.asarray(g.means),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_truncation_fuzz_never_crashes(tmp_path):
+    """Every truncation of every artifact raises a clean ValueError
+    subclass (the nnet3 reader's hardening contract, applied here)."""
+    rng = np.random.default_rng(8)
+    g = DiagGmm(jnp.asarray(rng.dirichlet(np.ones(3)), jnp.float32),
+                jnp.asarray(rng.normal(size=(3, 4)), jnp.float32),
+                jnp.asarray(rng.uniform(0.5, 2.0, (3, 4)), jnp.float32))
+    covars = np.stack([_rand_spd(rng, 4, 0.4) for _ in range(3)])
+    fg = FullGmm(g.weights, g.means, jnp.asarray(covars, jnp.float32))
+    ext = init_extractor(fg, ivector_dim=2, seed=0)
+    pl = Plda(rng.normal(size=4), np.linalg.qr(rng.normal(size=(4, 4)))[0],
+              rng.uniform(0.1, 2.0, 4))
+
+    files = {}
+    km.write_diag_ubm(str(tmp_path / "d"), g)
+    km.write_full_ubm(str(tmp_path / "f"), fg)
+    km.write_ivector_extractor(str(tmp_path / "i"), ext)
+    km.write_plda(str(tmp_path / "p"), pl)
+    files = {"d": km.read_diag_ubm, "f": km.read_full_ubm,
+             "i": km.read_ivector_extractor, "p": km.read_plda}
+
+    for name, reader in files.items():
+        data = (tmp_path / name).read_bytes()
+        # up to len-2: dropping ONLY the final token's trailing space
+        # still parses completely (correctly so)
+        cuts = sorted({1, 2, 3, 7} | set(
+            int(x) for x in np.linspace(4, len(data) - 2, 40)))
+        for cut in cuts:
+            trunc = tmp_path / f"{name}.trunc"
+            trunc.write_bytes(data[:cut])
+            with pytest.raises(ValueError):
+                reader(str(trunc))
+
+
+def test_corruption_fuzz_never_crashes(tmp_path):
+    """Random byte flips either parse (flip hit payload data) or raise a
+    clean ValueError — never segfault/hang/assert."""
+    rng = np.random.default_rng(9)
+    covars = np.stack([_rand_spd(rng, 4, 0.4) for _ in range(3)])
+    fg = FullGmm(jnp.asarray(rng.dirichlet(np.ones(3)), jnp.float32),
+                 jnp.asarray(rng.normal(size=(3, 4)), jnp.float32),
+                 jnp.asarray(covars, jnp.float32))
+    km.write_full_ubm(str(tmp_path / "f"), fg)
+    data = bytearray((tmp_path / "f").read_bytes())
+    for trial in range(60):
+        corrupt = bytearray(data)
+        for _ in range(3):
+            corrupt[rng.integers(0, len(data))] = rng.integers(0, 256)
+        p = tmp_path / "f.bad"
+        p.write_bytes(bytes(corrupt))
+        try:
+            km.read_full_ubm(str(p))
+        except (ValueError, np.linalg.LinAlgError):
+            pass

@@ -233,3 +233,20 @@ def test_rejects_odd_pnorm(tmp_path):
     p2.write_bytes(data)
     with pytest.raises(Nnet2ParseError, match="P=3"):
         import_kaldi_nnet2(str(p2))
+
+
+def test_truncation_fuzz_never_crashes(tmp_path):
+    rng = np.random.default_rng(5)
+    p, _ = _build_mdl(tmp_path, rng)
+    data = p.read_bytes()
+    cuts = sorted({1, 2, 3, 7} | set(
+        int(x) for x in np.linspace(4, len(data) - 2, 50)))
+    for cut in cuts:
+        trunc = tmp_path / "trunc.mdl"
+        trunc.write_bytes(data[:cut])
+        try:
+            import_kaldi_nnet2(str(trunc))
+        except ValueError:
+            pass
+        # reaching here without exception is fine only when the cut
+        # removed nothing semantic (trailing priors/space)
