@@ -125,6 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-leaves", type=int, default=4096)
     p.add_argument("--fmllr", action="store_true",
                    help="speaker-adaptive re-alignment pass in the s5 stage")
+    p.add_argument("--export-kaldi", action="store_true",
+                   help="(v1) also write the trained frontend in Kaldi "
+                        "format: <workdir>/kaldi/{final.ubm, final.ie} "
+                        "(~600 MB at reference scale).  Backend artifacts "
+                        "(mean.vec/transform.mat/plda) are written by "
+                        "every variant unconditionally.")
     return p
 
 
@@ -617,7 +623,8 @@ def main(argv=None) -> int:
                 "(egs/sre/v1/run_sre10.sh has no augmentation stage)"
             )
         res = drivers.run_v1(train_ds, train_audio, eval_audio, trials, enroll,
-                             args.workdir, **adapt_kw)
+                             args.workdir, export_kaldi=args.export_kaldi,
+                             **adapt_kw)
     elif args.variant == "v2":
         res = drivers.run_v2(train_ds, train_audio, eval_ds, eval_audio, trials,
                              enroll, args.workdir, train_cfg=train_cfg,

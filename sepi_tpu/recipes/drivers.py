@@ -21,6 +21,7 @@ in-domain set adapt the PLDA covariances before scoring.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
@@ -157,6 +158,20 @@ def _finish(
         utt_embeddings, train_dataset, trials, enroll_spk2utt, backend_cfg,
         adapt_vectors=adapt_embeddings,
     )
+    if workdir:
+        # backend artifacts in the Kaldi wire format — the reference's
+        # exp-dir layout (mean.vec / transform.mat / plda,
+        # `v2/run_sre10.sh:221-246`), so a run here drops into existing
+        # Kaldi scoring infrastructure
+        from ..utils import kaldi_models as _km
+
+        bdir = os.path.join(workdir, "backend")
+        os.makedirs(bdir, exist_ok=True)
+        _km.write_kaldi_vector_file(os.path.join(bdir, "mean.vec"),
+                                    art["mean"], double=True)
+        _km.write_kaldi_matrix_file(os.path.join(bdir, "transform.mat"),
+                                    art["lda"].projection, double=True)
+        _km.write_plda(os.path.join(bdir, "plda"), art["plda"])
     conds = evaluate_conditions(art["scores"], trials, condition_fn)
     if workdir:
         # DET curve artifact in probit coordinates (Plot_DET.m analog)
@@ -257,13 +272,23 @@ def run_v1(
     adapt_audio: Optional[Mapping[str, np.ndarray]] = None,
     condition_fn=None,
     posterior_provider=None,
+    export_kaldi: bool = False,
 ) -> RunResult:
     """GMM/i-vector (run_sre10.sh) or, with ``posterior_provider``, the
     DNN/i-vector variant (run_sre10_nnet2.sh): the provider maps a dict
     of 40-dim hires features to senone posterior dicts (e.g.
     `functools.partial(nnet2_recipe.nnet2_posteriors, model, state)`);
     UBM/T-matrix stats then come from the paired 20-dim sid stream with
-    those posteriors (`init_full_ubm_from_dnn.sh:100-116`)."""
+    those posteriors (`init_full_ubm_from_dnn.sh:100-116`).
+
+    ``export_kaldi`` additionally writes the trained frontend in the
+    Kaldi wire format (<workdir>/kaldi/{final.ubm, final.ie}) — with the
+    backend artifacts every driver already writes, a model trained here
+    deploys into existing Kaldi infrastructure.  (No final.dubm: the
+    diagonal UBM is an initialization intermediate, consumed by
+    train_full_ubm and not persisted — reimport the full one.)  At
+    reference scale final.ie is ~600 MB (2048 x 60 x 600 doubles),
+    hence opt-in."""
     cache = ArtifactCache(workdir)
     log = MetricsLogger(f"{workdir}/metrics.jsonl")
     backend_cfg = backend_cfg or BackendConfig(lda_dim=200)  # v1 uses 200
@@ -303,6 +328,13 @@ def run_v1(
         post_train = {u: post_all[u] for u in feats_train}
     ubm, ext = train_v1_frontend(feats_train, ubm_cfg, iv_cfg,
                                  posteriors=post_train)
+    if export_kaldi:
+        from ..utils import kaldi_models as _km
+
+        kdir = os.path.join(workdir, "kaldi")
+        os.makedirs(kdir, exist_ok=True)
+        _km.write_full_ubm(os.path.join(kdir, "final.ubm"), ubm)
+        _km.write_ivector_extractor(os.path.join(kdir, "final.ie"), ext)
     ivecs = extract_v1_ivectors(ubm, ext, {**feats_train, **feats_eval}, iv_cfg,
                                 ubm_cfg.full_gselect, posteriors=post_all)
     adapt_embs = None

@@ -486,4 +486,6 @@ def backend_eval(
     tgt, non = split_scores_by_trials(
         scores, [(t.model, t.test, t.target) for t in usable]
     )
-    return evaluate_scores(tgt, non), {"scores": scores, "plda": plda, "lda": lda}
+    return evaluate_scores(tgt, non), {
+        "scores": scores, "plda": plda, "lda": lda, "mean": scoring_mean,
+    }

@@ -441,3 +441,31 @@ def test_corruption_fuzz_never_crashes(tmp_path):
             km.read_full_ubm(str(p))
         except (ValueError, np.linalg.LinAlgError):
             pass
+
+
+def test_driver_run_writes_kaldi_artifacts(tmp_path):
+    """run_v1(export_kaldi=True) leaves the reference exp-dir artifact
+    set: backend/{mean.vec, transform.mat, plda} + kaldi/{final.ubm,
+    final.ie}, all readable by the interop layer."""
+    from sepi_tpu.config import IvectorConfig, UbmConfig
+    from sepi_tpu.data import make_synthetic_corpus
+    from sepi_tpu.recipes.drivers import run_v1
+
+    corpus = make_synthetic_corpus(num_speakers=6, utts_per_speaker=4,
+                                   seed=3, duration_sec=1.5)
+    enroll = {s: us[:2] for s, us in corpus.dataset.spk2utt.items()}
+    res = run_v1(
+        corpus.dataset, corpus.audio, corpus.audio, corpus.trials, enroll,
+        workdir=str(tmp_path), export_kaldi=True,
+        ubm_cfg=UbmConfig(num_gauss=8, num_gselect=8, full_gselect=8,
+                          num_iters_init=2, num_iters_full=1, subsample=4),
+        iv_cfg=IvectorConfig(ivector_dim=8, num_iters=2),
+    )
+    ubm = km.read_full_ubm(str(tmp_path / "kaldi" / "final.ubm"))
+    ext, meta = km.read_ivector_extractor(str(tmp_path / "kaldi" / "final.ie"))
+    assert ubm.num_comp == 8 and ext.ivector_dim in (8, 9)
+    pl = km.read_plda(str(tmp_path / "backend" / "plda"))
+    mean = km.read_kaldi_vector_file(str(tmp_path / "backend" / "mean.vec"))
+    lda = km.read_kaldi_matrix_file(str(tmp_path / "backend" /
+                                        "transform.mat"))
+    assert lda.shape[1] == mean.shape[0] and pl.dim == lda.shape[0]
