@@ -53,7 +53,7 @@ Model-mapping notes (each conversion is exact, up to storage precision):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

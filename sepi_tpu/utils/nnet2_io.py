@@ -48,7 +48,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .nnet3 import Nnet3ParseError, _Reader, _Scalar
+from .nnet3 import _Reader, _Scalar
 
 __all__ = ["Nnet2ParseError", "read_nnet2_components", "import_kaldi_nnet2"]
 

@@ -18,7 +18,7 @@ import pytest
 from sepi_tpu.backend.plda import Plda, plda_score_matrix, train_plda
 from sepi_tpu.classical.gmm import DiagGmm, FullGmm
 from sepi_tpu.classical.ivector import (
-    IvectorExtractor, IvectorStats, extract_ivectors, init_extractor,
+    IvectorStats, extract_ivectors, init_extractor,
     posterior_ivectors,
 )
 from sepi_tpu.utils import kaldi_models as km

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sepi_tpu.utils import nnet2_io
+
 from sepi_tpu.utils.nnet2_io import Nnet2ParseError, import_kaldi_nnet2
 
 
