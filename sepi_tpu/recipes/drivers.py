@@ -132,13 +132,15 @@ def _audio_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
 
 def save_embeddings(utt_embeddings: Mapping[str, np.ndarray], workdir: str,
                     name: str = "xvector") -> None:
-    """Persist embeddings as a Kaldi ark+scp pair (ivector-mean /
-    ivector-plda-scoring downstream tools can consume them directly)."""
+    """Persist embeddings as a Kaldi ark+scp pair of VECTOR entries —
+    the exact table type `extract_xvectors_new.sh:97-108` produces, so
+    downstream Kaldi vector tools (ivector-mean, ivector-plda-scoring,
+    ivector-normalize-length) consume them directly."""
     from ..utils import ArkWriter
 
     with ArkWriter(f"{workdir}/{name}.ark", f"{workdir}/{name}.scp") as w:
         for utt in sorted(utt_embeddings):
-            w.put_matrix(utt, np.asarray(utt_embeddings[utt])[None, :])
+            w.put_vector(utt, np.asarray(utt_embeddings[utt]))
 
 
 def _finish(

@@ -144,7 +144,7 @@ def test_driver_persists_embeddings(tmp_path, corpus):
     """Drivers write embeddings as a Kaldi ark+scp (interop artifact)."""
     import os
 
-    from sepi_tpu.utils import read_matrix, read_scp
+    from sepi_tpu.utils import read_scp, read_vector
 
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     res = run_v2(
@@ -156,8 +156,9 @@ def test_driver_persists_embeddings(tmp_path, corpus):
     assert os.path.exists(tmp_path / "xvector.scp")
     table = dict(read_scp(str(tmp_path / "xvector.scp")))
     assert set(table) == set(corpus.dataset.utt_ids)
-    emb = read_matrix(*table[corpus.dataset.utt_ids[0]])
-    assert emb.shape == (1, 32) and np.all(np.isfinite(emb))
+    # vector table entries (the reference's xvector.scp type)
+    emb = read_vector(*table[corpus.dataset.utt_ids[0]])
+    assert emb.shape == (32,) and np.all(np.isfinite(emb))
 
 
 def test_run_v2_with_augmentation(tmp_path, corpus, rng):
