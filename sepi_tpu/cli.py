@@ -488,6 +488,11 @@ def gauntlet_main(argv) -> int:
                         "statistical-power knob: training is unchanged "
                         "(checkpoints resume), only extraction/backend "
                         "re-run on the larger trial set")
+    p.add_argument("--train-seed", type=int, default=None,
+                   help="re-seed model init + samplers and isolate "
+                        "workdirs per seed — run several to quantify "
+                        "TRAINING variance (the component the speaker "
+                        "bootstrap excludes)")
     args = p.parse_args(argv)
     from .recipes.gauntlet import (
         CI_SCALE, HW_SCALE, format_table, make_gauntlet_data,
@@ -501,7 +506,8 @@ def gauntlet_main(argv) -> int:
 
         scale = _dc.replace(scale, num_eval_speakers=args.eval_speakers)
     results = run_gauntlet(args.workdir, scale,
-                           variants=tuple(args.variants.split(",")))
+                           variants=tuple(args.variants.split(",")),
+                           train_seed=args.train_seed)
     print(format_table(results), flush=True)
     if args.bootstrap:
         data = make_gauntlet_data(scale)

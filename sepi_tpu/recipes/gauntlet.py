@@ -291,9 +291,16 @@ def run_gauntlet(
     variants: Sequence[str] = ("v1", "v2", "v3", "v4", "v5"),
     mesh=None,
     log=print,
+    train_seed: Optional[int] = None,
 ) -> Dict[str, "object"]:
     """Run the requested variants at matched budgets on the calibrated
-    disjoint-speaker corpus; returns {variant: RunResult}."""
+    disjoint-speaker corpus; returns {variant: RunResult}.
+
+    ``train_seed`` re-seeds model init + the samplers (TrainConfig.seed)
+    and isolates each variant's workdir per seed — the knob for
+    quantifying TRAINING variance, the component the speaker-level
+    bootstrap deliberately excludes (it resamples eval speakers around
+    fixed trained systems).  Run several seeds and read the spread."""
     from .drivers import run_v1, run_v2, run_v3, run_v4, run_v5
 
     data = make_gauntlet_data(scale)
@@ -306,6 +313,10 @@ def run_gauntlet(
         am_cfg = AmConfig(feat_dim=23, num_senones=num_senones,
                           specs=scale.am_specs())
     tc, ec = scale.train_cfg(), scale.extract_cfg()
+    sfx = ""
+    if train_seed is not None:
+        tc = dataclasses.replace(tc, seed=train_seed)
+        sfx = f"_seed{train_seed}"
     n_spk = scale.num_train_speakers
     common = (data.train.dataset, data.train.audio)
 
@@ -319,7 +330,7 @@ def run_gauntlet(
     if "v1" in variants:
         _tick("v1", lambda: run_v1(
             *common, data.eval.audio, data.trials, data.enroll_spk2utt,
-            workdir=f"{workdir}/v1",
+            workdir=f"{workdir}/v1{sfx}",
             ubm_cfg=UbmConfig(num_gauss=64, num_gselect=16, full_gselect=16,
                               num_iters_init=4, num_iters_full=2, subsample=4),
             iv_cfg=IvectorConfig(ivector_dim=32, num_iters=3),
@@ -327,7 +338,7 @@ def run_gauntlet(
     if "v2" in variants:
         _tick("v2", lambda: run_v2(
             *common, data.eval.dataset, data.eval.audio, data.trials,
-            data.enroll_spk2utt, workdir=f"{workdir}/v2",
+            data.enroll_spk2utt, workdir=f"{workdir}/v2{sfx}",
             model_cfg=XVectorConfig(feat_dim=23, num_speakers=n_spk,
                                     frame_specs=scale.frame_specs(),
                                     embed_dim=scale.embed_dim),
@@ -336,7 +347,7 @@ def run_gauntlet(
     if "v3" in variants:
         _tick("v3", lambda: run_v3(
             *common, data.eval.audio, data.trials, data.enroll_spk2utt,
-            workdir=f"{workdir}/v3", alignments=ali,
+            workdir=f"{workdir}/v3{sfx}", alignments=ali,
             model_cfg=MultitaskConfig(num_speakers=n_spk,
                                       num_senones=num_senones,
                                       embed_dim=scale.embed_dim,
@@ -347,7 +358,7 @@ def run_gauntlet(
     if "v4" in variants:
         _tick("v4", lambda: run_v4(
             *common, data.eval.audio, data.trials, data.enroll_spk2utt,
-            workdir=f"{workdir}/v4", alignments=ali, am_cfg=am_cfg,
+            workdir=f"{workdir}/v4{sfx}", alignments=ali, am_cfg=am_cfg,
             model_cfg=AdaptedConfig(num_speakers=n_spk, am=am_cfg,
                                     embed_dim=scale.embed_dim,
                                     hidden_dim=scale.frame_dim,
@@ -358,7 +369,7 @@ def run_gauntlet(
     if "v5" in variants:
         _tick("v5", lambda: run_v5(
             *common, data.eval.audio, data.trials, data.enroll_spk2utt,
-            workdir=f"{workdir}/v5", alignments=ali, am_cfg=am_cfg,
+            workdir=f"{workdir}/v5{sfx}", alignments=ali, am_cfg=am_cfg,
             model_cfg=CombinedConfig(num_speakers=n_spk,
                                      num_senones=num_senones, am=am_cfg,
                                      embed_dim=scale.embed_dim,
@@ -471,23 +482,42 @@ def run_augmentation_ablation(
     return plain.pooled.eer, aug.pooled.eer
 
 
-def _weighted_eer(scores: np.ndarray, targets: np.ndarray,
-                  order: np.ndarray, weights: np.ndarray) -> float:
-    """EER of a trial-weighted score set (weights = bootstrap
-    multiplicities).  ``order`` is argsort(scores) precomputed by the
-    caller so replicates share the sort."""
+def _weighted_rates(scores: np.ndarray, targets: np.ndarray,
+                    order: np.ndarray, weights: np.ndarray):
+    """(FRR, FAR) sweeps of a trial-weighted score set (weights =
+    bootstrap multiplicities).  ``order`` is argsort(scores) precomputed
+    by the caller so replicates share the sort."""
     ys = targets[order]
     ws = weights[order]
     cum_tgt = np.cumsum(ws * ys)
     cum_non = np.cumsum(ws * ~ys)
     tot_t, tot_n = cum_tgt[-1], cum_non[-1]
     if tot_t <= 0 or tot_n <= 0:
-        return float("nan")
+        return None, None
     frr = cum_tgt / tot_t  # targets at or below each threshold
     far = 1.0 - cum_non / tot_n  # nontargets above it
-    k = int(np.searchsorted(frr - far, 0.0))
-    k = min(k, len(frr) - 1)
+    return frr, far
+
+
+def _weighted_eer(scores: np.ndarray, targets: np.ndarray,
+                  order: np.ndarray, weights: np.ndarray) -> float:
+    frr, far = _weighted_rates(scores, targets, order, weights)
+    if frr is None:
+        return float("nan")
+    k = min(int(np.searchsorted(frr - far, 0.0)), len(frr) - 1)
     return float(0.5 * (frr[k] + far[k]))
+
+
+def _weighted_min_dcf08(scores: np.ndarray, targets: np.ndarray,
+                        order: np.ndarray, weights: np.ndarray) -> float:
+    """NIST-normalized minDCF08 (C_miss=10, C_fa=1, P_tgt=0.01 —
+    metrics.det.SRE08_DCF) on a weighted replicate."""
+    frr, far = _weighted_rates(scores, targets, order, weights)
+    if frr is None:
+        return float("nan")
+    c_miss, c_fa, p_t = 10.0, 1.0, 0.01
+    dcf = c_miss * frr * p_t + c_fa * far * (1.0 - p_t)
+    return float(np.min(dcf) / min(c_miss * p_t, c_fa * (1.0 - p_t)))
 
 
 @dataclasses.dataclass
@@ -502,12 +532,20 @@ class BootstrapComparison:
     ci_low: float  # 2.5th percentile of the delta
     ci_high: float  # 97.5th percentile
     p_b_better: float  # fraction of replicates with delta > 0
+    # same summary for minDCF08 (the adaptation pins' metric)
+    dcf_delta_mean: float = float("nan")
+    dcf_ci_low: float = float("nan")
+    dcf_ci_high: float = float("nan")
+    p_b_better_dcf: float = float("nan")
 
     def line(self) -> str:
         return (f"{self.system_b} vs {self.system_a}: "
                 f"dEER {self.delta_mean * 100:+.2f} pts "
                 f"[{self.ci_low * 100:+.2f}, {self.ci_high * 100:+.2f}] "
-                f"P({self.system_b} better) = {self.p_b_better:.3f}")
+                f"P({self.system_b} better) = {self.p_b_better:.3f}; "
+                f"dminDCF08 {self.dcf_delta_mean:+.3f} "
+                f"[{self.dcf_ci_low:+.3f}, {self.dcf_ci_high:+.3f}] "
+                f"P = {self.p_b_better_dcf:.3f}")
 
 
 def paired_speaker_bootstrap(
@@ -549,6 +587,7 @@ def paired_speaker_bootstrap(
 
     rng = np.random.default_rng(seed)
     deltas = {pair: [] for pair in pairs}
+    dcf_deltas = {pair: [] for pair in pairs}
     point = {name: _weighted_eer(s, targets, o, np.ones(len(trials)))
              for name, (s, o) in sys_scores.items()}
     for _ in range(n_boot):
@@ -557,20 +596,31 @@ def paired_speaker_bootstrap(
         w = counts[enr] * counts[tst]
         if not (np.any(w * targets) and np.any(w * ~targets)):
             continue
-        eers = {name: _weighted_eer(s, targets, o, w)
-                for name, (s, o) in sys_scores.items()}
+        eers, dcfs = {}, {}
+        for name, (s, o) in sys_scores.items():
+            frr, far = _weighted_rates(s, targets, o, w)
+            if frr is None:
+                break
+            k = min(int(np.searchsorted(frr - far, 0.0)), len(frr) - 1)
+            eers[name] = 0.5 * (frr[k] + far[k])
+            dcf = 10.0 * frr * 0.01 + far * 0.99
+            dcfs[name] = float(np.min(dcf) / 0.1)
         for a, b in pairs:
             if a in eers and b in eers:
                 deltas[(a, b)].append(eers[a] - eers[b])
+                dcf_deltas[(a, b)].append(dcfs[a] - dcfs[b])
     out = []
     for (a, b), d in deltas.items():
         if not d or a not in point or b not in point:
             continue
         d = np.asarray(d)
+        dd = np.asarray(dcf_deltas[(a, b)])
         out.append(BootstrapComparison(
             a, b, point[a], point[b], float(d.mean()),
             float(np.percentile(d, 2.5)), float(np.percentile(d, 97.5)),
             float(np.mean(d > 0)),
+            float(dd.mean()), float(np.percentile(dd, 2.5)),
+            float(np.percentile(dd, 97.5)), float(np.mean(dd > 0)),
         ))
     return out
 

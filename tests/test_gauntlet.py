@@ -175,3 +175,14 @@ def test_paired_speaker_bootstrap_detects_ordering():
     null = by[("v2", "same")]
     assert null.ci_low <= 0 <= null.ci_high
     assert abs(null.delta_mean) < 0.01
+    # minDCF08 deltas carry the same structure
+    assert better.dcf_delta_mean > 0
+    assert abs(null.dcf_delta_mean) < 0.01
+    assert null.dcf_ci_low <= 0 <= null.dcf_ci_high
+    # weighted minDCF08 with uniform weights matches the DET module
+    from sepi_tpu.metrics.det import compute_det
+    from sepi_tpu.recipes.gauntlet import _weighted_min_dcf08
+
+    w_dcf = _weighted_min_dcf08(s_a, tgt, order, np.ones(len(trials)))
+    ref_dcf = compute_det(s_a[tgt], s_a[~tgt]).min_dcf(10.0, 1.0, 0.01)
+    assert abs(w_dcf - ref_dcf) < 0.02
