@@ -299,16 +299,27 @@ def interop_main(cmd: str, argv) -> int:
         from .utils.nnet3 import import_kaldi_raw
 
         kind = sniff_kaldi_object(args.raw)
-        if kind in ("diag_ubm", "full_ubm", "ivector_extractor", "plda"):
+        if kind in ("diag_ubm", "full_ubm", "ivector_extractor", "plda",
+                    "vector", "matrix"):
             return _import_classical(args.raw, kind, args.out)
         if kind == "nnet2":
             return _import_nnet2(args.raw, args.out)
         if kind == "transition_model":
             # an .mdl leads with <TransitionModel> whether nnet2 or nnet3;
-            # peek for the wrapped net's version token
+            # stream-search for the wrapped net's version token (files can
+            # be hundreds of MB — don't hold the blob just to peek)
+            found_nnet3 = False
             with open(args.raw, "rb") as f:
-                blob = f.read()
-            if b"<Nnet3> " not in blob:
+                tail = b""
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    if b"<Nnet3> " in tail + chunk:
+                        found_nnet3 = True
+                        break
+                    tail = chunk[-8:]
+            if not found_nnet3:
                 return _import_nnet2(args.raw, args.out)
             # else: fall through — import_kaldi_raw handles .mdl directly
 
@@ -415,10 +426,18 @@ def _import_classical(path: str, kind: str, out_dir: str) -> int:
                   "w": meta.w, "w_vec": meta.w_vec}
         desc = (f"IvectorExtractor K={ext.t.shape[0]} D={ext.t.shape[1]} "
                 f"M={ext.ivector_dim}")
-    else:  # plda
+    elif kind == "plda":
         pl = km.read_plda(path)
         arrays = {"mean": pl.mean, "transform": pl.transform, "psi": pl.psi}
         desc = f"Plda D={pl.dim}"
+    elif kind == "vector":
+        x = km.read_kaldi_vector_file(path)
+        arrays = {"data": x}
+        desc = f"vector dim={x.shape[0]}"
+    else:  # matrix (mean.vec / transform.mat style bare objects)
+        x = km.read_kaldi_matrix_file(path)
+        arrays = {"data": x}
+        desc = f"matrix {x.shape[0]}x{x.shape[1]}"
     npz = os.path.join(out_dir, "model.npz")
     np.savez(npz, kind=kind, **arrays)
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -455,6 +474,10 @@ def _export_classical(npz_path: str, out: str) -> int:
                                    prior_offset=float(z["prior_offset"]))
     elif kind == "plda":
         km.write_plda(out, Plda(z["mean"], z["transform"], z["psi"]))
+    elif kind == "vector":
+        km.write_kaldi_vector_file(out, z["data"], double=True)
+    elif kind == "matrix":
+        km.write_kaldi_matrix_file(out, z["data"], double=True)
     else:
         raise SystemExit(f"{npz_path}: unknown classical kind {kind!r}")
     print(f"wrote Kaldi {kind} {out}", flush=True)
@@ -510,10 +533,13 @@ def gauntlet_main(argv) -> int:
                            train_seed=args.train_seed)
     print(format_table(results), flush=True)
     if args.bootstrap:
-        data = make_gauntlet_data(scale)
-        utt2spk = {u.utt_id: u.spk_id for u in data.eval.dataset}
         pairs = [("v2", v) for v in ("v3", "v4", "v5") if v in results]
-        if "v2" in results and pairs:
+        if "v2" not in results or not pairs:
+            print("bootstrap: needs v2 (the baseline) plus at least one "
+                  "of v3/v4/v5 in --variants; skipping", flush=True)
+        else:
+            data = make_gauntlet_data(scale)
+            utt2spk = {u.utt_id: u.spk_id for u in data.eval.dataset}
             for c in paired_speaker_bootstrap(results, data.trials, utt2spk,
                                               pairs, n_boot=args.bootstrap):
                 print(f"bootstrap: {c.line()}", flush=True)

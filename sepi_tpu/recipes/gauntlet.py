@@ -499,25 +499,29 @@ def _weighted_rates(scores: np.ndarray, targets: np.ndarray,
     return frr, far
 
 
-def _weighted_eer(scores: np.ndarray, targets: np.ndarray,
-                  order: np.ndarray, weights: np.ndarray) -> float:
-    frr, far = _weighted_rates(scores, targets, order, weights)
-    if frr is None:
-        return float("nan")
+def _eer_from_rates(frr: np.ndarray, far: np.ndarray) -> float:
     k = min(int(np.searchsorted(frr - far, 0.0)), len(frr) - 1)
     return float(0.5 * (frr[k] + far[k]))
 
 
-def _weighted_min_dcf08(scores: np.ndarray, targets: np.ndarray,
-                        order: np.ndarray, weights: np.ndarray) -> float:
+def _dcf08_from_rates(frr: np.ndarray, far: np.ndarray) -> float:
     """NIST-normalized minDCF08 (C_miss=10, C_fa=1, P_tgt=0.01 —
-    metrics.det.SRE08_DCF) on a weighted replicate."""
-    frr, far = _weighted_rates(scores, targets, order, weights)
-    if frr is None:
-        return float("nan")
+    metrics.det.SRE08_DCF)."""
     c_miss, c_fa, p_t = 10.0, 1.0, 0.01
     dcf = c_miss * frr * p_t + c_fa * far * (1.0 - p_t)
     return float(np.min(dcf) / min(c_miss * p_t, c_fa * (1.0 - p_t)))
+
+
+def _weighted_eer(scores: np.ndarray, targets: np.ndarray,
+                  order: np.ndarray, weights: np.ndarray) -> float:
+    frr, far = _weighted_rates(scores, targets, order, weights)
+    return float("nan") if frr is None else _eer_from_rates(frr, far)
+
+
+def _weighted_min_dcf08(scores: np.ndarray, targets: np.ndarray,
+                        order: np.ndarray, weights: np.ndarray) -> float:
+    frr, far = _weighted_rates(scores, targets, order, weights)
+    return float("nan") if frr is None else _dcf08_from_rates(frr, far)
 
 
 @dataclasses.dataclass
@@ -573,6 +577,17 @@ def paired_speaker_bootstrap(
     the per-replicate EER deltas summarize into (mean, 95% CI,
     P(B better)).
     """
+    # only trials scored by EVERY system are comparable (backend_eval
+    # drops trials whose test utt has no embedding / model no enrolls)
+    scored = [t for t in trials
+              if all((t.model, t.test) in r.scores for r in results.values())]
+    if len(scored) < len(trials):
+        print(f"[bootstrap] {len(trials) - len(scored)} of {len(trials)} "
+              "trials unscored by some system; comparing the scored "
+              "intersection", flush=True)
+    trials = scored
+    if not trials:
+        return []
     spks = sorted({t.model for t in trials}
                   | {utt2spk[t.test] for t in trials})
     spk_idx = {s: i for i, s in enumerate(spks)}
@@ -601,10 +616,8 @@ def paired_speaker_bootstrap(
             frr, far = _weighted_rates(s, targets, o, w)
             if frr is None:
                 break
-            k = min(int(np.searchsorted(frr - far, 0.0)), len(frr) - 1)
-            eers[name] = 0.5 * (frr[k] + far[k])
-            dcf = 10.0 * frr * 0.01 + far * 0.99
-            dcfs[name] = float(np.min(dcf) / 0.1)
+            eers[name] = _eer_from_rates(frr, far)
+            dcfs[name] = _dcf08_from_rates(frr, far)
         for a, b in pairs:
             if a in eers and b in eers:
                 deltas[(a, b)].append(eers[a] - eers[b])

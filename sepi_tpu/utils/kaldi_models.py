@@ -38,8 +38,10 @@ Model-mapping notes (each conversion is exact, up to storage precision):
   satisfy ``w = xhat + offset*e1`` identically — and since
   ``ivector-extract`` subtracts ``PriorOffset()`` from the first
   coordinate before writing, **Kaldi's written i-vectors equal our
-  xhat exactly**.  Import applies that mapping (plus per-component
-  whitening, since our T lives in whitened space).  Export emits
+  xhat exactly** (for ``--use-weights=true`` extractors, up to Kaldi's
+  weight-likelihood refinement term — see ``read_ivector_extractor``).
+  Import applies that mapping (plus per-component whitening, since our
+  T lives in whitened space).  Export emits
   ``M = T_raw`` with the fitted offset when the means are colinear with
   T's first column (true for any imported model → exact round trip);
   otherwise it prepends a mean-carrying column (``ivector_dim + 1``,
@@ -199,6 +201,11 @@ def read_diag_ubm(path: str):
     r.expect_token("<INV_VARS>")
     inv_vars = r.read_matrix().astype(np.float64)
     r.expect_token("</DiagGMM>")
+    if (means_invvars.shape[0] != weights.shape[0]
+            or inv_vars.shape != means_invvars.shape):
+        raise KaldiModelError(
+            f"{path}: inconsistent dims weights={weights.shape} "
+            f"means_invvars={means_invvars.shape} inv_vars={inv_vars.shape}")
     if np.any(inv_vars <= 0):
         raise KaldiModelError(f"{path}: non-positive inverse variances")
     vars_ = 1.0 / inv_vars
@@ -255,6 +262,10 @@ def read_full_ubm(path: str):
     means_invcovars = r.read_matrix().astype(np.float64)
     r.expect_token("<INV_COVARS>")
     k = weights.shape[0]
+    if means_invcovars.shape[0] != k:
+        raise KaldiModelError(
+            f"{path}: {k} weights but {means_invcovars.shape[0]} "
+            "means_invcovars rows")
     covars = np.zeros((k, means_invcovars.shape[1], means_invcovars.shape[1]))
     means = np.zeros_like(means_invcovars)
     for i in range(k):
@@ -333,7 +344,13 @@ def read_ivector_extractor(path: str):
 
     Kaldi's written i-vectors (``ivector-extract`` subtracts the prior
     offset from coordinate 0) equal ``extract_ivectors`` on the returned
-    extractor exactly — see the module docstring for the derivation.
+    extractor exactly — see the module docstring for the derivation —
+    WHEN the extractor has no i-vector-dependent weight projection.
+    Extractors trained with ``--use-weights=true`` carry a nonempty
+    ``w``; Kaldi then adds a weight-likelihood refinement term to the
+    posterior that this model does not reproduce (the Gaussian term
+    dominates; the deviation is second-order).  Such imports warn and
+    keep ``w`` in the metadata.
     """
     from ..classical.ivector import IvectorExtractor
 
@@ -353,6 +370,15 @@ def read_ivector_extractor(path: str):
     r.expect_token("<IvectorOffset>")
     prior_offset = r.read_float()
     r.expect_token("</IvectorExtractor>")
+    if w_proj.size:
+        import warnings
+
+        warnings.warn(
+            f"{path}: extractor was trained with --use-weights=true "
+            "(nonempty <w>); the weight-likelihood refinement term is "
+            "not modeled — extracted i-vectors match ivector-extract up "
+            "to that second-order term, not exactly",
+            stacklevel=2)
 
     m_arr = np.stack(m_list)  # (K, D, M)
     covars = np.linalg.inv(sigma_inv)

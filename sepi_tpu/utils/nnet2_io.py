@@ -249,6 +249,11 @@ def _assemble_layers(comps) -> Tuple[List[_Layer], int]:
                 f"component type {ctype} is not in the p-norm multisplice "
                 "zoo (SumGroup/Dct/Dropout variants are not used by "
                 "run_nnet2_multisplice.sh)")
+    if pending_fixed is not None:
+        raise Nnet2ParseError(
+            "trailing FixedAffineComponent with no following affine to "
+            "fold into — unsupported graph (silently dropping it would "
+            "import a numerically wrong network)")
     if not saw_softmax:
         raise Nnet2ParseError("no SoftmaxComponent — not a posterior net")
     if feat_dim is None:

@@ -186,3 +186,37 @@ def test_paired_speaker_bootstrap_detects_ordering():
     w_dcf = _weighted_min_dcf08(s_a, tgt, order, np.ones(len(trials)))
     ref_dcf = compute_det(s_a[tgt], s_a[~tgt]).min_dcf(10.0, 1.0, 0.01)
     assert abs(w_dcf - ref_dcf) < 0.02
+
+
+def test_paired_bootstrap_tolerates_unscored_trials():
+    """Trials missing from some system's score dict are dropped to the
+    scored intersection, not KeyError'd (backend_eval only scores
+    'usable' trials)."""
+    import types
+
+    import numpy as np
+
+    from sepi_tpu.data.manifest import Trial
+    from sepi_tpu.recipes.gauntlet import paired_speaker_bootstrap
+
+    rng = np.random.default_rng(2)
+    spks = [f"s{i}" for i in range(20)]
+    utt2spk, trials = {}, []
+    for s in spks:
+        for j in range(6):
+            utt2spk[f"{s}-u{j}"] = s
+    for s in spks:
+        for utt in sorted(utt2spk):
+            trials.append(Trial(s, utt, utt2spk[utt] == s))
+    tgt = np.array([t.target for t in trials])
+    base = rng.normal(size=len(trials))
+    res = {}
+    for name, sep in [("v2", 1.0), ("v3", 1.5)]:
+        scores = {(t.model, t.test): float(tgt[i] * sep + base[i])
+                  for i, t in enumerate(trials)}
+        res[name] = types.SimpleNamespace(scores=scores)
+    # drop one trial from v3's dict (an unscorable test utt)
+    del res["v3"].scores[(trials[0].model, trials[0].test)]
+    comps = paired_speaker_bootstrap(res, trials, utt2spk,
+                                     pairs=(("v2", "v3"),), n_boot=50)
+    assert len(comps) == 1 and np.isfinite(comps[0].delta_mean)

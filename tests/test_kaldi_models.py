@@ -469,3 +469,67 @@ def test_driver_run_writes_kaldi_artifacts(tmp_path):
     lda = km.read_kaldi_matrix_file(str(tmp_path / "backend" /
                                         "transform.mat"))
     assert lda.shape[1] == mean.shape[0] and pl.dim == lda.shape[0]
+
+
+def test_inconsistent_component_counts_raise_cleanly(tmp_path):
+    """5 weights but 3 mean rows -> KaldiModelError, not IndexError."""
+    rng = np.random.default_rng(10)
+    k, d = 3, 4
+    inv_covars = np.stack([np.linalg.inv(_rand_spd(rng, d, 0.5))
+                           for _ in range(k)])
+    meics = np.stack([inv_covars[i] @ rng.normal(size=d) for i in range(k)])
+    body = (_tok("<FullGMM>") + _tok("<GCONSTS>") + _vec(np.zeros(5))
+            + _tok("<WEIGHTS>") + _vec(rng.dirichlet(np.ones(5)))
+            + _tok("<MEANS_INVCOVARS>") + _mat(meics)
+            + _tok("<INV_COVARS>"))
+    for i in range(k):
+        body += _packed(inv_covars[i])
+    body += _tok("</FullGMM>")
+    p = tmp_path / "bad.ubm"
+    _write(p, body)
+    with pytest.raises(km.KaldiModelError, match="weights but 3"):
+        km.read_full_ubm(str(p))
+
+
+def test_use_weights_extractor_warns(tmp_path):
+    """A --use-weights=true final.ie (nonempty <w>) imports with a
+    warning about the unmodeled weight-refinement term."""
+    rng = np.random.default_rng(11)
+    k, d, m = 3, 4, 2
+    m_arr = rng.normal(size=(k, d, m))
+    sigma_inv = np.stack([np.linalg.inv(_rand_spd(rng, d, 0.3))
+                          for _ in range(k)])
+    body = (_tok("<IvectorExtractor>") + _tok("<w>")
+            + _mat(rng.normal(size=(k, m)), double=True)
+            + _tok("<w_vec>") + _vec(np.zeros(0), double=True)
+            + _tok("<M>") + _i32(k))
+    for i in range(k):
+        body += _mat(m_arr[i], double=True)
+    body += _tok("<SigmaInv>")
+    for i in range(k):
+        body += _packed(sigma_inv[i], double=True)
+    body += _tok("<IvectorOffset>") + _f64(100.0)
+    body += _tok("</IvectorExtractor>")
+    p = tmp_path / "w.ie"
+    _write(p, body)
+    with pytest.warns(UserWarning, match="use-weights"):
+        ext, meta = km.read_ivector_extractor(str(p))
+    assert meta.w.shape == (3, 2)
+
+
+def test_cli_vector_matrix_import_export(tmp_path):
+    from sepi_tpu.cli import main
+
+    rng = np.random.default_rng(12)
+    v = rng.normal(size=9)
+    src = tmp_path / "mean.vec"
+    km.write_kaldi_vector_file(str(src), v, double=True)
+    out = tmp_path / "imp"
+    assert main(["import-kaldi", "--raw", str(src), "--out", str(out)]) == 0
+    z = np.load(out / "model.npz")
+    np.testing.assert_allclose(z["data"], v, rtol=1e-12)
+    back = tmp_path / "back.vec"
+    assert main(["export-kaldi", "--model", str(out / "model.npz"),
+                 "--out", str(back)]) == 0
+    np.testing.assert_allclose(km.read_kaldi_vector_file(str(back)), v,
+                               rtol=1e-12)

@@ -250,3 +250,20 @@ def test_truncation_fuzz_never_crashes(tmp_path):
             pass
         # reaching here without exception is fine only when the cut
         # removed nothing semantic (trailing priors/space)
+
+
+def test_trailing_fixed_affine_rejected(tmp_path):
+    """A FixedAffineComponent after the last affine must error, not be
+    silently dropped."""
+    rng = np.random.default_rng(6)
+    p, _ = _build_mdl(tmp_path, rng)
+    data = p.read_bytes()
+    extra = _fixed_affine(rng.normal(size=(9, 9)), rng.normal(size=9))
+    softmax_at = data.rfind(_tok("<SoftmaxComponent>"))
+    patched = (data[:softmax_at] + extra + data[softmax_at:]).replace(
+        _tok("<NumComponents>") + _i32(11),
+        _tok("<NumComponents>") + _i32(12), 1)
+    p2 = tmp_path / "trail.mdl"
+    p2.write_bytes(patched)
+    with pytest.raises(Nnet2ParseError, match="trailing FixedAffine"):
+        import_kaldi_nnet2(str(p2))
