@@ -305,25 +305,19 @@ def interop_main(cmd: str, argv) -> int:
         if kind == "nnet2":
             return _import_nnet2(args.raw, args.out)
         if kind == "transition_model":
-            # an .mdl leads with <TransitionModel> whether nnet2 or nnet3;
-            # stream-search for the wrapped net's version token (files can
-            # be hundreds of MB — don't hold the blob just to peek)
-            found_nnet3 = False
-            with open(args.raw, "rb") as f:
-                tail = b""
-                while True:
-                    chunk = f.read(1 << 22)
-                    if not chunk:
-                        break
-                    if b"<Nnet3> " in tail + chunk:
-                        found_nnet3 = True
-                        break
-                    tail = chunk[-8:]
-            if not found_nnet3:
+            # an .mdl leads with <TransitionModel> whether nnet2 or nnet3.
+            # A byte-scan for b'<Nnet3> ' can misroute: that sequence can
+            # occur coincidentally inside an nnet2 model's binary weight
+            # payload.  So TRY the nnet3 parser (fuzz-hardened — garbage
+            # surfaces as Nnet3ParseError, never a crash) and fall back to
+            # the nnet2 importer on a parse error.
+            from .utils.nnet3 import Nnet3ParseError
+            try:
+                model, variables, arch = import_kaldi_raw(args.raw, args.arch)
+            except Nnet3ParseError:
                 return _import_nnet2(args.raw, args.out)
-            # else: fall through — import_kaldi_raw handles .mdl directly
-
-        model, variables, arch = import_kaldi_raw(args.raw, args.arch)
+        else:
+            model, variables, arch = import_kaldi_raw(args.raw, args.arch)
         os.makedirs(args.out, exist_ok=True)
         vpath = os.path.join(args.out, "variables.msgpack")
         with open(vpath, "wb") as f:
@@ -448,6 +442,8 @@ def _import_classical(path: str, kind: str, out_dir: str) -> int:
 
 def _export_classical(npz_path: str, out: str) -> int:
     """Write a classical model.npz back to the Kaldi wire format."""
+    import json
+
     import jax.numpy as jnp
 
     from .backend.plda import Plda
@@ -470,8 +466,20 @@ def _export_classical(npz_path: str, out: str) -> int:
                                jnp.asarray(z["means"]))
         meta = km.IvectorExtractorMeta(float(z["prior_offset"]), z["w"],
                                        z["w_vec"])
-        km.write_ivector_extractor(out, ext, meta,
-                                   prior_offset=float(z["prior_offset"]))
+        out_meta = km.write_ivector_extractor(
+            out, ext, meta, prior_offset=float(z["prior_offset"]))
+        with open(out + ".meta.json", "w") as f:
+            json.dump({"kind": kind,
+                       "mean_column_added": bool(out_meta.mean_column_added),
+                       "prior_offset": float(out_meta.prior_offset)},
+                      f, indent=2)
+        if out_meta.mean_column_added:
+            m_dim = int(np.asarray(z["t"]).shape[2])
+            print(f"WARNING: approximate export — ivector dim grew "
+                  f"{m_dim} -> {m_dim + 1} (mean-carrying column; Kaldi "
+                  "pins the extra coordinate only approximately at the "
+                  "prior offset, so Kaldi-extracted i-vectors match "
+                  "native ones approximately, not exactly)", flush=True)
     elif kind == "plda":
         km.write_plda(out, Plda(z["mean"], z["transform"], z["psi"]))
     elif kind == "vector":

@@ -168,7 +168,13 @@ class OptimizerConfig:
     # shipped recipes leave it 0 and regularize via proportional shrink)
     l2_regularize: float = 0.0
     num_epochs: int = 3
-    dropout_schedule: str = "0,0@0.20,0.1@0.50,0"
+    # NOTE deliberately NO dropout_schedule field: the reference passes
+    # --trainer.dropout-schedule='0,0@0.20,0.1@0.50,0' everywhere
+    # (run_xvector_new.sh:144) but none of the v1-v5 xconfigs contain a
+    # dropout component (verified against run_xvector_new.sh:92-115), so
+    # the flag is a silent no-op there.  We don't carry a knob that does
+    # nothing; the schedule parser survives as train.optim.dropout_schedule
+    # for anyone adding dropout layers.
     shrink_guard: float = 0.5  # train_cvector_dnn.py:292-296
     # "muon" = Newton-Schulz orthogonalized momentum (a Shampoo-family
     # preconditioner, the TPU-native NG-SGD substitute: the

@@ -15,6 +15,7 @@ configs, e.g. dither=1.0 and the VAD energy threshold, assume it).
 
 from __future__ import annotations
 
+import os
 import wave
 from typing import Callable, Dict, Mapping, Optional, Tuple
 
@@ -121,6 +122,187 @@ class AudioStore:
             for u in dataset
             if u.wav is not None
         }
+
+    def lazy_dataset(self, dataset: Dataset) -> "LazyAudio":
+        """Corpus-scale view: decode-on-access Mapping over the manifest.
+
+        Use instead of `load_dataset` when the corpus doesn't fit RAM;
+        the drivers' feature stages consume it one batch at a time and
+        key their caches on its `manifest_fingerprint()` (no decoding
+        needed to decide a cache hit)."""
+        return LazyAudio(self, dataset)
+
+
+#: bump when any decoder's output could change for identical source bytes
+#: (read_wav/read_sph/scheme loaders) — part of every manifest fingerprint
+#: so stale cached features can't be reused across decoder revisions.
+_DECODER_VERSION = 1
+
+
+class LazyAudio(Mapping):
+    """Decode-on-access utt -> samples view over (AudioStore, Dataset).
+
+    The corpus-scale replacement for a decoded-audio dict: the drivers'
+    feature stages read it one length-bucketed batch at a time, so only
+    ~batch_size signals are ever resident (SURVEY.md §7: the reference
+    streams everything from disk — `prepare_feats_for_egs.sh`).
+
+    Two extra capabilities over a plain Mapping, both duck-typed by the
+    pipeline:
+
+    - ``num_samples(utt)``: header-only length probe (WAV/SPHERE header
+      fields; in-memory pools by len) for length-bucket sorting without
+      decoding.  Scheme *loaders* have no headers: those decode once and
+      cache only the length.
+    - ``manifest_fingerprint()``: a cache key from manifest metadata
+      (utt ids, wav refs, channel/segment fields, file size+mtime,
+      decoder version) costing zero decodes — replacing the full-decode
+      content hash that made cache HITS cost a corpus pass
+      (`recipes.drivers._audio_fingerprint`).
+    """
+
+    def __init__(self, store: AudioStore, dataset: Dataset):
+        self._store = store
+        self._utts = {
+            u.utt_id: u for u in dataset if u.wav is not None
+        }
+        self._lengths: Dict[str, int] = {}
+
+    # -- Mapping --
+    def __getitem__(self, utt: str) -> np.ndarray:
+        return self._store.load_utterance(self._utts[utt])
+
+    def __iter__(self):
+        return iter(self._utts)
+
+    def __len__(self):
+        return len(self._utts)
+
+    def __contains__(self, utt):
+        return utt in self._utts
+
+    # -- cheap probes --
+    def num_samples(self, utt: str) -> int:
+        if utt in self._lengths:
+            return self._lengths[utt]
+        u = self._utts[utt]
+        if getattr(u, "num_samples", None):  # manifest field: free
+            self._lengths[utt] = int(u.num_samples)
+            return int(u.num_samples)
+        ref = u.wav
+        n: Optional[int] = None
+        if ":" in ref and not ref[1:3] == ":\\":
+            scheme, key = ref.split(":", 1)
+            pool = self._store._schemes.get(scheme)
+            if pool is not None:
+                n = len(pool[key])
+        elif ref.lower().endswith(".sph"):
+            from ..utils.sphere import sph_info
+
+            n = sph_info(ref)[2]
+        else:
+            with wave.open(ref, "rb") as w:
+                n = w.getnframes()
+        if n is None:  # scheme loader: decode once, keep only the length
+            n = len(self[utt])
+        self._lengths[utt] = int(n)
+        return int(n)
+
+    def manifest_fingerprint(self) -> str:
+        """Digest of manifest-level identity — no audio decoding.
+
+        File-backed refs contribute (path, size, mtime_ns): an edited
+        file changes the digest; in-memory pool refs contribute their
+        array length (pools are deterministic per scheme registration —
+        callers re-registering different audio under the same scheme and
+        lengths should use the drivers' ``content_hash`` opt-in).
+        """
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(f"decoder-v{_DECODER_VERSION}".encode())
+        for utt in sorted(self._utts):
+            u = self._utts[utt]
+            h.update(utt.encode())
+            h.update(str(u.wav).encode())
+            h.update(str(u.get_meta("channel", "1")).encode())
+            h.update(f"{u.start}-{u.end}".encode())
+            ref = u.wav
+            if ":" in ref and not ref[1:3] == ":\\":
+                h.update(str(self.num_samples(utt)).encode())
+            else:
+                st = os.stat(ref)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+
+def content_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
+    """Content digest of a decoded-audio mapping (forces a full pass —
+    use `LazyAudio.manifest_fingerprint` for corpus-scale caches).
+    Hashes per-utterance length, a ~256-point strided sample spanning
+    the whole signal, and the full-signal sum (edits anywhere in the
+    buffer perturb the strided probe even when they preserve the sum)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for u in sorted(audio):
+        x = np.asarray(audio[u])
+        h.update(u.encode())
+        h.update(np.int64(x.shape[0]).tobytes())
+        h.update(np.asarray(x[:: max(1, len(x) // 256)], np.float32).tobytes())
+        h.update(np.float64(x.sum()).tobytes())
+    return h.hexdigest()
+
+
+class ChainAudio(Mapping):
+    """Lazy union of audio mappings (first match wins) — the
+    ``{**clean, **augmented}`` replacement that doesn't materialize lazy
+    members.  Forwards the corpus-scale probes: `num_samples` per
+    member, `manifest_fingerprint` as a digest of each member's own
+    fingerprint (content fingerprint for plain dict members, which are
+    in RAM anyway)."""
+
+    def __init__(self, *maps: Mapping[str, np.ndarray]):
+        self._maps = maps
+
+    def __getitem__(self, k):
+        for m in self._maps:
+            if k in m:
+                return m[k]
+        raise KeyError(k)
+
+    def __iter__(self):
+        seen = set()
+        for m in self._maps:
+            for k in m:
+                if k not in seen:
+                    seen.add(k)
+                    yield k
+
+    def __len__(self):
+        return len(set().union(*self._maps))
+
+    def __contains__(self, k):
+        return any(k in m for m in self._maps)
+
+    def num_samples(self, k: str) -> int:
+        for m in self._maps:
+            if k in m:
+                if hasattr(m, "num_samples"):
+                    return m.num_samples(k)
+                return len(m[k])
+        raise KeyError(k)
+
+    def manifest_fingerprint(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        for m in self._maps:
+            if hasattr(m, "manifest_fingerprint"):
+                h.update(m.manifest_fingerprint().encode())
+            else:
+                h.update(content_fingerprint(m).encode())
+        return h.hexdigest()
 
 
 def extract_segments(

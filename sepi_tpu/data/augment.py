@@ -116,6 +116,90 @@ REFERENCE_AUGMENTS = (
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class AugPlan:
+    """One planned augmented copy: every random draw resolved up front
+    (no audio needed to plan), so eager and lazy application produce
+    identical samples.  ``offset_seed`` seeds the noise-crop rng —
+    per-copy, so application order never matters."""
+
+    utt_id: str
+    aug_id: str
+    kind: str
+    snr: float = 0.0
+    rir_idx: int = -1
+    noise_idxs: Tuple[int, ...] = ()
+    offset_seed: int = 0
+
+
+def plan_augments(
+    dataset: Dataset,
+    rirs: Sequence[np.ndarray] = (),
+    noises: Mapping[str, Sequence[np.ndarray]] = {},
+    specs: Sequence[AugmentSpec] = REFERENCE_AUGMENTS,
+    seed: int = 0,
+) -> List[AugPlan]:
+    """Resolve the augmentation draw table from manifests alone —
+    pool/SNR indices from one shared seeded rng (the reference's
+    seeded-pipeline determinism), noise-crop offsets from per-copy
+    seeds so a lazy Mapping can realize copies in ANY order and match
+    the eager path bitwise."""
+    rng = np.random.default_rng(seed)
+    plans: List[AugPlan] = []
+    for utt in dataset:
+        for spec in specs:
+            aug_id = f"{utt.utt_id}-{spec.kind}"
+            off = int(rng.integers(1 << 31))
+            if spec.kind == "reverb":
+                if not len(rirs):
+                    continue
+                plans.append(AugPlan(utt.utt_id, aug_id, "reverb",
+                                     rir_idx=int(rng.integers(len(rirs))),
+                                     offset_seed=off))
+            else:
+                pool = noises.get(spec.kind)
+                if not pool:
+                    continue
+                snr = float(spec.snrs[int(rng.integers(len(spec.snrs)))])
+                if spec.kind == "babble":
+                    k = int(rng.integers(3, 8))
+                    idxs = tuple(int(rng.integers(len(pool))) for _ in range(k))
+                else:
+                    idxs = (int(rng.integers(len(pool))),)
+                plans.append(AugPlan(utt.utt_id, aug_id, spec.kind,
+                                     snr=snr, noise_idxs=idxs,
+                                     offset_seed=off))
+    return plans
+
+
+def apply_augment(
+    plan: AugPlan,
+    x: np.ndarray,
+    rirs: Sequence[np.ndarray],
+    noises: Mapping[str, Sequence[np.ndarray]],
+) -> np.ndarray:
+    """Realize one planned copy from the clean signal."""
+    if plan.kind == "reverb":
+        return reverberate(x, rirs[plan.rir_idx])
+    rng = np.random.default_rng(plan.offset_seed)
+    pool = noises[plan.kind]
+    if plan.kind == "babble":
+        return mix_babble(x, [pool[i] for i in plan.noise_idxs], plan.snr, rng)
+    return mix_noise(x, pool[plan.noise_idxs[0]], plan.snr, rng)
+
+
+def _aug_utterances(dataset: Dataset, plans: Sequence[AugPlan]) -> List[Utterance]:
+    by_utt = {u.utt_id: u for u in dataset}
+    return [
+        by_utt[p.utt_id].replace(
+            utt_id=p.aug_id,
+            wav=f"aug:{p.aug_id}",
+            uniq_id=by_utt[p.utt_id].uniq_id or p.utt_id,
+        )
+        for p in plans
+    ]
+
+
 def augment_dataset(
     dataset: Dataset,
     audio: Mapping[str, np.ndarray],
@@ -129,40 +213,105 @@ def augment_dataset(
     ``noises`` maps kind ('noise'/'music'/'babble') to sample pools.
     Returns (augmented-only dataset, augmented audio).  Combine with the
     clean set via ``dataset.combine`` like `run_sre10.sh:155-159`.
+    (Eager form; `lazy_augment_dataset` realizes the same plans
+    on access for corpora that don't fit RAM.)
     """
-    rng = np.random.default_rng(seed)
-    new_utts: List[Utterance] = []
-    new_audio: Dict[str, np.ndarray] = {}
-    for utt in dataset:
-        x = audio[utt.utt_id]
-        for spec in specs:
-            if spec.kind == "reverb":
-                if not len(rirs):
-                    continue
-                rir = rirs[int(rng.integers(len(rirs)))]
-                y = reverberate(x, rir)
-            else:
-                pool = noises.get(spec.kind)
-                if not pool:
-                    continue
-                snr = float(spec.snrs[int(rng.integers(len(spec.snrs)))])
-                if spec.kind == "babble":
-                    k = int(rng.integers(3, 8))
-                    srcs = [pool[int(rng.integers(len(pool)))] for _ in range(k)]
-                    y = mix_babble(x, srcs, snr, rng)
-                else:
-                    noise = pool[int(rng.integers(len(pool)))]
-                    y = mix_noise(x, noise, snr, rng)
-            aug_id = f"{utt.utt_id}-{spec.kind}"
-            new_audio[aug_id] = y
-            new_utts.append(
-                utt.replace(
-                    utt_id=aug_id,
-                    wav=f"aug:{aug_id}",
-                    uniq_id=utt.uniq_id or utt.utt_id,
-                )
-            )
-    return Dataset(new_utts, f"{dataset.name}_aug"), new_audio
+    plans = plan_augments(dataset, rirs, noises, specs, seed)
+    new_audio = {
+        p.aug_id: apply_augment(p, audio[p.utt_id], rirs, noises)
+        for p in plans
+    }
+    return Dataset(_aug_utterances(dataset, plans), f"{dataset.name}_aug"), new_audio
+
+
+class LazyAugmentAudio(Mapping):
+    """Decode/realize-on-access augmented audio: ``aug_id ->`` samples.
+
+    Holds only the draw table; each access pulls the clean signal from
+    ``base`` (itself possibly a `data.audio.LazyAudio`) and applies the
+    planned transform — bitwise-identical to `augment_dataset`'s eager
+    output (per-copy offset seeds make realization order irrelevant).
+    Duck-types the two corpus-scale probes the pipeline uses:
+    `num_samples` (augmentation preserves length) and
+    `manifest_fingerprint` (base fingerprint + plan digest).
+    """
+
+    def __init__(self, base: Mapping[str, np.ndarray],
+                 plans: Sequence[AugPlan],
+                 rirs: Sequence[np.ndarray],
+                 noises: Mapping[str, Sequence[np.ndarray]]):
+        self._base = base
+        self._plans = {p.aug_id: p for p in plans}
+        self._rirs = rirs
+        self._noises = noises
+
+    def __getitem__(self, aug_id: str) -> np.ndarray:
+        p = self._plans[aug_id]
+        return apply_augment(p, np.asarray(self._base[p.utt_id]),
+                             self._rirs, self._noises)
+
+    def __iter__(self):
+        return iter(self._plans)
+
+    def __len__(self):
+        return len(self._plans)
+
+    def __contains__(self, aug_id):
+        return aug_id in self._plans
+
+    def num_samples(self, aug_id: str) -> int:
+        p = self._plans[aug_id]
+        if hasattr(self._base, "num_samples"):
+            return self._base.num_samples(p.utt_id)
+        return len(self._base[p.utt_id])
+
+    def subset(self, keep) -> "LazyAugmentAudio":
+        """Restrict to a set of aug ids (the 128k-subset stage)."""
+        return LazyAugmentAudio(
+            self._base,
+            [p for a, p in self._plans.items() if a in keep],
+            self._rirs, self._noises,
+        )
+
+    def manifest_fingerprint(self) -> str:
+        import hashlib
+
+        h = hashlib.sha1()
+        if hasattr(self._base, "manifest_fingerprint"):
+            h.update(self._base.manifest_fingerprint().encode())
+        else:
+            h.update(f"base-dict-{len(self._base)}".encode())
+        for aug_id in sorted(self._plans):
+            p = self._plans[aug_id]
+            h.update(repr((p.utt_id, p.aug_id, p.kind, p.snr, p.rir_idx,
+                           p.noise_idxs, p.offset_seed)).encode())
+        # pool identity: sizes + strided probes (pools are small relative
+        # to the corpus — RIRS_NOISES/MUSAN samples — so probing is cheap)
+        for name, pool in [("rirs", self._rirs)] + sorted(self._noises.items()):
+            h.update(name.encode())
+            for arr in pool:
+                a = np.asarray(arr)
+                h.update(np.int64(a.shape[0]).tobytes())
+                h.update(np.asarray(a[:: max(1, len(a) // 64)], np.float32).tobytes())
+        return h.hexdigest()
+
+
+def lazy_augment_dataset(
+    dataset: Dataset,
+    audio: Mapping[str, np.ndarray],
+    rirs: Sequence[np.ndarray] = (),
+    noises: Mapping[str, Sequence[np.ndarray]] = {},
+    specs: Sequence[AugmentSpec] = REFERENCE_AUGMENTS,
+    seed: int = 0,
+) -> Tuple[Dataset, LazyAugmentAudio]:
+    """`augment_dataset` without materializing any audio: returns the
+    augmented-only manifest plus a realize-on-access Mapping (same plans,
+    same samples)."""
+    plans = plan_augments(dataset, rirs, noises, specs, seed)
+    return (
+        Dataset(_aug_utterances(dataset, plans), f"{dataset.name}_aug"),
+        LazyAugmentAudio(audio, plans, rirs, noises),
+    )
 
 
 def synthetic_rir(

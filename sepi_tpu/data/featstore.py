@@ -42,25 +42,29 @@ class FeatStore(Mapping):
 
     @classmethod
     def write(cls, path_prefix: str, features: Mapping[str, np.ndarray]) -> "FeatStore":
+        """One-shot write of an in-memory dict (tests / small corpora)."""
+        return cls.write_stream(path_prefix, features.items())
+
+    @classmethod
+    def write_stream(cls, path_prefix: str,
+                     items: Iterable[tuple]) -> "FeatStore":
+        """Stream (utt_id, (T, D) array) pairs into a store.
+
+        The corpus-scale entry point: holds ONE utterance's features at a
+        time (the `prepare_feats_for_egs.sh` disk-streaming property), so
+        driver RSS stays flat however large the feature set is.  The .npy
+        header is written with a placeholder shape and patched on close —
+        the total row count isn't known up front.
+        """
         os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
-        utts = sorted(features)
-        dim = features[utts[0]].shape[1]
-        total = sum(features[u].shape[0] for u in utts)
-        arr = np.lib.format.open_memmap(
-            path_prefix + ".npy", mode="w+", dtype=np.float32, shape=(total, dim)
-        )
-        index: Dict[str, tuple] = {}
-        off = 0
-        for u in utts:
-            f = features[u]
-            if f.shape[1] != dim:
-                raise ValueError(f"{u}: dim {f.shape[1]} != {dim}")
-            arr[off : off + f.shape[0]] = f
-            index[u] = (off, f.shape[0])
-            off += f.shape[0]
-        arr.flush()
-        with open(path_prefix + ".json", "w") as fh:
-            json.dump({"dim": dim, "index": index}, fh)
+        w = _StreamWriter(path_prefix)
+        try:
+            for u, f in items:
+                w.add(u, f)
+        except BaseException:
+            w.abort()
+            raise
+        w.close()
         return cls.open(path_prefix)
 
     @classmethod
@@ -83,6 +87,82 @@ class FeatStore(Mapping):
 
     def __contains__(self, utt):
         return utt in self._index
+
+
+class _StreamWriter:
+    """Incremental writer behind `FeatStore.write_stream`.
+
+    Appends float32 rows to ``<prefix>.npy.tmp`` behind a placeholder
+    .npy header (total row count is unknown until the stream ends), then
+    patches the header with the final shape and renames both files into
+    place — write-temp-then-rename isolation, like the reference's
+    feature dumps.
+    """
+
+    def __init__(self, path_prefix: str):
+        self.prefix = path_prefix
+        self._f = open(path_prefix + ".npy.tmp", "wb")
+        self._dim: Optional[int] = None
+        self._off = 0
+        self._index: Dict[str, tuple] = {}
+        self._hdr_len = 0
+
+    @staticmethod
+    def _header(shape) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        np.lib.format.write_array_header_1_0(
+            buf, {"descr": "<f4", "fortran_order": False, "shape": shape}
+        )
+        return buf.getvalue()
+
+    def add(self, utt: str, feats: np.ndarray) -> None:
+        f = np.ascontiguousarray(feats, np.float32)
+        if f.ndim != 2:
+            raise ValueError(f"{utt}: expected (T, D) features, got {f.shape}")
+        if self._dim is None:
+            self._dim = int(f.shape[1])
+            # placeholder with the widest plausible row count so the
+            # final header can only be the same length or shorter
+            hdr = self._header((10**15, self._dim))
+            self._hdr_len = len(hdr)
+            self._f.write(hdr)
+        elif f.shape[1] != self._dim:
+            raise ValueError(f"{utt}: dim {f.shape[1]} != {self._dim}")
+        if utt in self._index:
+            raise ValueError(f"duplicate utterance {utt}")
+        self._f.write(f.tobytes())
+        self._index[utt] = (self._off, int(f.shape[0]))
+        self._off += int(f.shape[0])
+
+    def close(self) -> None:
+        if self._dim is None:  # empty stream: a valid, empty store
+            self._dim = 0
+            hdr = self._header((0, 0))
+            self._hdr_len = len(hdr)
+            self._f.write(hdr)
+        else:
+            hdr = self._header((self._off, self._dim))
+            if len(hdr) < self._hdr_len:  # pad before the closing newline
+                hdr = hdr[:-1] + b" " * (self._hdr_len - len(hdr)) + b"\n"
+            elif len(hdr) > self._hdr_len:
+                raise RuntimeError("npy header grew past its placeholder")
+            self._f.seek(0)
+            self._f.write(hdr)
+        self._f.close()
+        with open(self.prefix + ".json.tmp", "w") as fh:
+            json.dump({"dim": self._dim, "index": self._index}, fh)
+        os.replace(self.prefix + ".npy.tmp", self.prefix + ".npy")
+        os.replace(self.prefix + ".json.tmp", self.prefix + ".json")
+
+    def abort(self) -> None:
+        self._f.close()
+        for suffix in (".npy.tmp", ".json.tmp"):
+            try:
+                os.remove(self.prefix + suffix)
+            except FileNotFoundError:
+                pass
 
 
 class PrefetchLoader:

@@ -84,13 +84,26 @@ def _apply_augmentation(
     train_dataset: Dataset,
     train_audio: Mapping[str, np.ndarray],
     opts: AugmentOptions,
-) -> Tuple[Dataset, Dict[str, np.ndarray]]:
+) -> Tuple[Dataset, Mapping[str, np.ndarray]]:
     """Stage-2 semantics: augment -> subset -> combine with clean.
     utt2uniq bookkeeping (aug copies carry their clean root) keeps
-    heldout splits and PLDA honest downstream."""
-    from ..data.augment import REFERENCE_AUGMENTS, augment_dataset
+    heldout splits and PLDA honest downstream.
 
-    aug_ds, aug_audio = augment_dataset(
+    Lazy input audio (`AudioStore.lazy_dataset`) stays lazy: augmented
+    copies are realized on access from the same draw table
+    (`lazy_augment_dataset`, bitwise-identical to the eager path) and
+    the clean/aug union is a `ChainAudio` view — nothing is
+    materialized, whatever the corpus size."""
+    from ..data.audio import ChainAudio
+    from ..data.augment import (
+        REFERENCE_AUGMENTS,
+        augment_dataset,
+        lazy_augment_dataset,
+    )
+
+    lazy = hasattr(train_audio, "num_samples")
+    make = lazy_augment_dataset if lazy else augment_dataset
+    aug_ds, aug_audio = make(
         train_dataset, train_audio,
         rirs=opts.rirs, noises=opts.noises,
         specs=opts.specs or REFERENCE_AUGMENTS, seed=opts.seed,
@@ -103,31 +116,33 @@ def _apply_augmentation(
             ].tolist()
         )
         aug_ds = aug_ds.filter(lambda u: u.utt_id in keep, f"{aug_ds.name}_sub")
-        aug_audio = {u: aug_audio[u] for u in keep}
+        aug_audio = (aug_audio.subset(keep) if lazy
+                     else {u: aug_audio[u] for u in keep})
     combined = train_dataset.combine(aug_ds)
+    if lazy:
+        return combined, ChainAudio(train_audio, aug_audio)
     return combined, {**train_audio, **aug_audio}
 
 
-def _audio_fingerprint(audio: Mapping[str, np.ndarray]) -> str:
-    """Content digest for feature-cache keys.  Keying on utt ids alone is
-    unsafe: augmented copies have deterministic ids (`{utt}-{kind}`)
-    whatever the RIR/noise pools and SNR draws produced, and caller audio
-    can change under unchanged ids — either would silently reuse stale
-    cached features.  Hashes per-utterance length, a ~256-point strided
-    sample spanning the whole signal, and the full-signal sum (edits
-    anywhere in the buffer perturb the strided probe even when they
-    preserve the sum — e.g. permuted noise segments from a changed
-    augmentation pool)."""
-    import hashlib
+def _audio_fingerprint(audio: Mapping[str, np.ndarray],
+                       content_hash: bool = False) -> str:
+    """Cache key for feature stages.  Keying on utt ids alone is unsafe:
+    augmented copies have deterministic ids (`{utt}-{kind}`) whatever
+    the RIR/noise pools and SNR draws produced, and caller audio can
+    change under unchanged ids — either would silently reuse stale
+    cached features.
 
-    h = hashlib.sha1()
-    for u in sorted(audio):
-        x = np.asarray(audio[u])
-        h.update(u.encode())
-        h.update(np.int64(x.shape[0]).tobytes())
-        h.update(np.asarray(x[:: max(1, len(x) // 256)], np.float32).tobytes())
-        h.update(np.float64(x.sum()).tobytes())
-    return h.hexdigest()
+    A lazy mapping (`LazyAudio` / `LazyAugmentAudio` / `ChainAudio`)
+    supplies a manifest-level digest — utt ids, wav refs, file
+    size+mtime, decoder version, augmentation draw tables — costing
+    ZERO audio decodes, so a cache hit on a 100k-utt corpus is free.
+    Plain dicts (already in RAM) fall back to the content digest;
+    ``content_hash=True`` forces it everywhere."""
+    if not content_hash and hasattr(audio, "manifest_fingerprint"):
+        return audio.manifest_fingerprint()
+    from ..data.audio import content_fingerprint
+
+    return content_fingerprint(audio)
 
 
 def save_embeddings(utt_embeddings: Mapping[str, np.ndarray], workdir: str,
@@ -236,13 +251,16 @@ def run_v2(
         train_dataset, train_audio = _apply_augmentation(
             train_dataset, train_audio, augments
         )
-    feats_train = cache.stage(
+    # feature stages stream into mmap FeatStores (disk-backed, lazy
+    # rows): driver RSS stays flat at any corpus size, the property the
+    # reference gets from on-disk feats.scp (prepare_feats_for_egs.sh)
+    feats_train = cache.stage_store(
         "feats_train", [train_dataset.name, _audio_fingerprint(train_audio)],
-        lambda: pipeline.prepare_features_nosil(train_audio), log=print,
+        lambda: pipeline.iter_features_nosil(train_audio), log=print,
     )
-    feats_eval = cache.stage(
+    feats_eval = cache.stage_store(
         "feats_eval", [eval_dataset.name, _audio_fingerprint(eval_audio)],
-        lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
+        lambda: pipeline.iter_features_nosil(eval_audio), log=print,
     )
     model, state, _ = pipeline.train_xvector_model(
         feats_train, train_dataset, model_cfg, train_cfg, num_steps, mesh=mesh,
@@ -296,13 +314,15 @@ def run_v1(
     backend_cfg = backend_cfg or BackendConfig(lda_dim=200)  # v1 uses 200
 
     if posterior_provider is None:
-        feats_train = cache.stage(
+        from .ivector_recipe import iter_features_ivector
+
+        feats_train = cache.stage_store(
             "ivec_feats_train", [train_dataset.name, _audio_fingerprint(train_audio)],
-            lambda: prepare_features_ivector(train_audio), log=print,
+            lambda: iter_features_ivector(train_audio), log=print,
         )
-        feats_eval = cache.stage(
+        feats_eval = cache.stage_store(
             "ivec_feats_eval", [_audio_fingerprint(eval_audio)],
-            lambda: prepare_features_ivector(eval_audio), log=print,
+            lambda: iter_features_ivector(eval_audio), log=print,
         )
         post_train = post_all = None
     else:
@@ -374,14 +394,14 @@ def _phonetic_common(train_audio, eval_audio, alignments, workdir,
     from .s5 import run_s5, select_voiced_ali
 
     cache = ArtifactCache(workdir)
-    feats_eval = cache.stage(
+    feats_eval = cache.stage_store(
         "feats_eval", [_audio_fingerprint(eval_audio)],
-        lambda: pipeline.prepare_features_nosil(eval_audio), log=print,
+        lambda: pipeline.iter_features_nosil(eval_audio), log=print,
     )
     if alignments is not None:
-        feats_train = cache.stage(
+        feats_train = cache.stage_store(
             "feats_train", [_audio_fingerprint(train_audio)],
-            lambda: pipeline.prepare_features_nosil(train_audio), log=print,
+            lambda: pipeline.iter_features_nosil(train_audio), log=print,
         )
     elif transcripts is not None and lexicon is not None:
         align_cfg = align_cfg or AlignConfig()

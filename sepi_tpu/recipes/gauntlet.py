@@ -500,8 +500,22 @@ def _weighted_rates(scores: np.ndarray, targets: np.ndarray,
 
 
 def _eer_from_rates(frr: np.ndarray, far: np.ndarray) -> float:
-    k = min(int(np.searchsorted(frr - far, 0.0)), len(frr) - 1)
-    return float(0.5 * (frr[k] + far[k]))
+    """EER by linear interpolation at the frr/far crossing.
+
+    With few target trials per bootstrap replicate the raw sweeps are
+    step functions quantized in 1/#targets increments; taking the single
+    crossing index coarsens the bootstrap CI by that step size, so
+    interpolate between the bracketing sweep points instead (matching
+    metrics.det's convex-interpolated EER).
+    """
+    d = frr - far  # nondecreasing: frr rises, far falls along the sweep
+    k = min(int(np.searchsorted(d, 0.0)), len(frr) - 1)
+    if k == 0 or d[k] == d[k - 1]:
+        return float(0.5 * (frr[k] + far[k]))
+    t = float(-d[k - 1] / (d[k] - d[k - 1]))
+    frr_i = frr[k - 1] + t * (frr[k] - frr[k - 1])
+    far_i = far[k - 1] + t * (far[k] - far[k - 1])
+    return float(0.5 * (frr_i + far_i))
 
 
 def _dcf08_from_rates(frr: np.ndarray, far: np.ndarray) -> float:

@@ -42,6 +42,30 @@ from ..config import (
 from ..ops import FeatureExtractor, add_deltas
 
 
+def iter_features_ivector(
+    audio: Mapping[str, np.ndarray],
+    frontend: FrontendConfig = MFCC_SRE_IVECTOR,
+    vad: VadConfig = VadConfig(),
+    cmvn: CmvnConfig = CmvnConfig(),
+    delta_order: int = 2,
+    batch_size: int = 16,
+):
+    """Streaming form of `prepare_features_ivector`: yields
+    (utt_id, (T, 60) float32) pairs without holding the corpus (for
+    `ArtifactCache.stage_store`)."""
+    from .pipeline import _frontend_batches
+
+    fe = FeatureExtractor(frontend)
+    for utt_ids, normed, voiced, _ in _frontend_batches(
+        audio, fe, vad, cmvn, None, batch_size,
+        transform=lambda f, m: add_deltas(f, m, order=delta_order),
+    ):
+        for b, utt_id in enumerate(utt_ids):
+            v = voiced[b].astype(bool)
+            if v.any():
+                yield utt_id, normed[b][v]
+
+
 def prepare_features_ivector(
     audio: Mapping[str, np.ndarray],
     frontend: FrontendConfig = MFCC_SRE_IVECTOR,
@@ -54,20 +78,10 @@ def prepare_features_ivector(
 
     Batched over length-bucketed utterances like the nosil prep
     (pipeline._frontend_batches); deltas run between VAD and CMVN via
-    the transform hook."""
-    from .pipeline import _frontend_batches
-
-    fe = FeatureExtractor(frontend)
-    out: Dict[str, np.ndarray] = {}
-    for utt_ids, normed, voiced, _ in _frontend_batches(
-        audio, fe, vad, cmvn, None, batch_size,
-        transform=lambda f, m: add_deltas(f, m, order=delta_order),
-    ):
-        for b, utt_id in enumerate(utt_ids):
-            v = voiced[b].astype(bool)
-            if v.any():
-                out[utt_id] = normed[b][v]
-    return out
+    the transform hook.  (Dict form; drivers stream
+    `iter_features_ivector` into an mmap FeatStore.)"""
+    return dict(iter_features_ivector(audio, frontend, vad, cmvn,
+                                      delta_order, batch_size))
 
 
 def train_v1_frontend(

@@ -156,9 +156,17 @@ def _frontend_batches(
     if key is not None and dither_on:  # resolve the corpus salt ONCE
         salt = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
         key = None
-    items = sorted(audio.items(), key=lambda kv: (len(kv[1]), kv[0]))
-    for i in range(0, len(items), batch_size):
-        chunk = items[i : i + batch_size]
+    # Sort by a cheap length probe, then materialize audio one BATCH at
+    # a time: with a lazy mapping (data.audio.LazyAudio) only B decoded
+    # signals are ever resident, so corpus feature prep runs at flat RSS
+    # (the prepare_feats_for_egs.sh streaming property).  Plain dicts
+    # behave identically (len() of an in-RAM array is free).
+    if hasattr(audio, "num_samples"):
+        ids = sorted(audio, key=lambda u: (audio.num_samples(u), u))
+    else:
+        ids = sorted(audio, key=lambda u: (len(audio[u]), u))
+    for i in range(0, len(ids), batch_size):
+        chunk = [(u, np.asarray(audio[u])) for u in ids[i : i + batch_size]]
         pad_len = -(-max(len(x) for _, x in chunk) // pad_grid) * pad_grid
         samples = np.zeros((len(chunk), pad_len), np.float32)
         lengths = np.zeros((len(chunk),), np.int32)
@@ -180,6 +188,28 @@ def _frontend_batches(
         )
 
 
+def iter_features_nosil(
+    audio: Mapping[str, np.ndarray],
+    frontend: FrontendConfig = FrontendConfig(),
+    vad: VadConfig = VadConfig(),
+    cmvn: CmvnConfig = CmvnConfig(),
+    key: Optional[jax.Array] = None,
+    batch_size: int = 16,
+):
+    """Streaming form of `prepare_features_nosil`: yields
+    (utt_id, (T_voiced, D) float32) one utterance at a time, never
+    holding the corpus.  Feed to `ArtifactCache.stage_store` /
+    `FeatStore.write_stream` for flat-RSS corpus feature prep."""
+    fe = FeatureExtractor(frontend)
+    for utt_ids, normed, voiced, _ in _frontend_batches(
+        audio, fe, vad, cmvn, key, batch_size
+    ):
+        for b, utt_id in enumerate(utt_ids):
+            v = voiced[b].astype(bool)
+            if v.any():
+                yield utt_id, normed[b][v]
+
+
 def prepare_features_nosil(
     audio: Mapping[str, np.ndarray],
     frontend: FrontendConfig = FrontendConfig(),
@@ -192,17 +222,10 @@ def prepare_features_nosil(
     over length-bucketed utterances.
 
     Returns utt_id -> (T_voiced, num_ceps) float32 — the `_nosil` features
-    every neural recipe trains/extracts on."""
-    fe = FeatureExtractor(frontend)
-    out: Dict[str, np.ndarray] = {}
-    for utt_ids, normed, voiced, _ in _frontend_batches(
-        audio, fe, vad, cmvn, key, batch_size
-    ):
-        for b, utt_id in enumerate(utt_ids):
-            v = voiced[b].astype(bool)
-            if v.any():
-                out[utt_id] = normed[b][v]
-    return out
+    every neural recipe trains/extracts on.  (In-memory dict form; the
+    drivers stream `iter_features_nosil` into an mmap FeatStore instead.)
+    """
+    return dict(iter_features_nosil(audio, frontend, vad, cmvn, key, batch_size))
 
 
 @dataclasses.dataclass

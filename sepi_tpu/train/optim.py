@@ -59,6 +59,12 @@ def dropout_schedule(spec: str) -> Callable[[float], float]:
 
     Returns rate(train_fraction): piecewise-linear through the listed
     (fraction, value) knots; first entry is at fraction 0, last at 1.
+
+    Standalone utility, deliberately NOT an OptimizerConfig knob: the
+    reference passes --trainer.dropout-schedule on every recipe but none
+    of the v1-v5 graphs contain a dropout component
+    (run_xvector_new.sh:92-115,144), so there the flag is a silent no-op.
+    Use this parser if you add dropout layers to a custom graph.
     """
     parts = spec.split(",")
     knots: list[Tuple[float, float]] = []

@@ -107,3 +107,34 @@ class ArtifactCache:
         out = fn()
         self.save(name, key, out, meta)
         return self.load(name, key)[0]
+
+    def stage_store(
+        self,
+        name: str,
+        key_objs: Any,
+        fn: Callable[[], Any],
+        log: Optional[Callable[[str], None]] = None,
+    ):
+        """Feature-store artifact kind: the corpus-scale sibling of
+        `stage`.
+
+        ``fn`` returns an ITERATOR of (utt_id, (T, D) array) pairs; they
+        stream straight into a memory-mapped `data.featstore.FeatStore`
+        (one utterance resident at a time), and a cache hit reopens the
+        mmap without recompute.  The returned store is a Mapping whose
+        rows are lazy mmap views, so samplers/extraction consume it
+        exactly like a features dict while RSS stays flat at any corpus
+        size — the `prepare_feats_for_egs.sh` disk-streaming property
+        that monolithic npz artifacts lack.
+        """
+        from ..data.featstore import FeatStore
+
+        key = config_key(key_objs)
+        prefix = os.path.join(self.root, f"{name}-{key}.store")
+        if os.path.exists(prefix + ".json") and os.path.exists(prefix + ".npy"):
+            if log:
+                log(f"[{name}] cached ({key})")
+            return FeatStore.open(prefix)
+        if log:
+            log(f"[{name}] running ({key})")
+        return FeatStore.write_stream(prefix, fn())

@@ -439,6 +439,16 @@ def write_ivector_extractor(
     else:
         offset, added = float(prior_offset), True
         m_out = np.concatenate([means[:, :, None] / offset, t_raw], axis=2)
+        import warnings
+
+        warnings.warn(
+            f"{path}: natively-trained extractor (means not colinear with "
+            f"T's first column) — exported with a mean-carrying extra "
+            f"column, ivector dim {m_dim} -> {m_dim + 1}; Kaldi-side "
+            "ivector-extract pins the extra coordinate only approximately "
+            "at the prior offset, so extracted i-vectors match natively "
+            "extracted ones approximately, not exactly",
+            stacklevel=2)
 
     if meta is not None and meta.w.size and meta.w.shape[1] == m_out.shape[2]:
         w_proj = meta.w

@@ -44,6 +44,7 @@ one MXU GEMM (`models/tdnn.py` design notes).
 from __future__ import annotations
 
 import dataclasses
+import struct
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -67,11 +68,17 @@ _STATELESS_SKIP = ("NoOpComponent",)
 
 
 def _read_int_vector(r: _Reader) -> np.ndarray:
-    """WriteIntegerVector wire form: elem-size char, int32 count, data."""
+    """WriteIntegerVector wire form: elem-size char, RAW int32 count, data.
+
+    Kaldi's WriteIntegerVector (io-funcs-inl.h) writes the element count
+    as a bare little-endian int32 immediately after the element-size
+    char — unlike WriteBasicType scalars it carries NO size-prefix byte
+    of its own, so ``read_int32`` (which expects one) must not be used.
+    """
     size = r._take(1)[0]
     if size != 4:
         raise Nnet2ParseError(f"int-vector element size {size} != 4")
-    count = r.read_int32()
+    count = struct.unpack("<i", r._take(4))[0]
     if count < 0 or count > 1_000_000:
         raise Nnet2ParseError(f"implausible int-vector count {count}")
     return np.frombuffer(r._take(4 * count), "<i4").copy()
@@ -113,11 +120,24 @@ def read_nnet2_components(path: str):
     r = _Reader(data[2:])
     first = r.read_token()
     if first == "<TransitionModel>":
-        # opaque for posterior extraction; skip to its closing token
-        end = r.buf.find(b"</TransitionModel> ", r.pos)
-        if end < 0:
-            raise Nnet2ParseError(f"{path}: unterminated <TransitionModel>")
-        r.pos = end + len(b"</TransitionModel> ")
+        # opaque for posterior extraction; skip to its closing token.
+        # The closing-token byte sequence can occur coincidentally inside
+        # the TM's binary payload, so accept an occurrence only when the
+        # wrapped net's opening token follows it directly (Kaldi writes
+        # "</TransitionModel> <Nnet> " with single-space separators).
+        at = r.pos
+        while True:
+            end = r.buf.find(b"</TransitionModel> ", at)
+            if end < 0:
+                raise Nnet2ParseError(
+                    f"{path}: unterminated <TransitionModel>")
+            nxt = end + len(b"</TransitionModel> ")
+            if r.buf[nxt : nxt + 7] == b"<Nnet> " or (
+                r.buf[nxt : nxt + 8] == b"<Nnet3> "
+            ):
+                r.pos = nxt
+                break
+            at = end + 1
         first = r.read_token()
     if first == "<Nnet3>":
         raise Nnet2ParseError(

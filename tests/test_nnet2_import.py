@@ -49,8 +49,10 @@ def _fm(x):
 
 
 def _ivec(v):
+    # Kaldi WriteIntegerVector framing (io-funcs-inl.h): elem-size char,
+    # then the count as a RAW little-endian int32 (no size-prefix byte).
     v = np.asarray(v, np.int32)
-    return b"\x04" + _i32(v.shape[0])[0:0] + _i32(v.shape[0]) + v.tobytes()
+    return b"\x04" + struct.pack("<i", v.shape[0]) + v.tobytes()
 
 
 def _splice(in_dim, context):
