@@ -222,6 +222,12 @@ class TrainConfig:
     # Background-thread batch prefetch depth (ark,bg: analog,
     # data/featstore.PrefetchLoader); 0 disables.
     prefetch: int = 2
+    # Opt-in JAX/XLA profiler traces: one trace per checkpoint segment,
+    # written under <workdir>/profile/seg<start>-<end> (view with
+    # TensorBoard/xprof).  The SURVEY §5 observability gap-closer: the
+    # reference only had --verbose=1 GPU timing every 20th iteration;
+    # here a full XLA op-level trace of any training window is one flag.
+    profile: bool = False
 
     replace = _replace
 

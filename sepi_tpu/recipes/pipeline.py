@@ -73,6 +73,10 @@ def run_checkpointed(trainer, it, num_steps: int, train_cfg: TrainConfig,
     from ..train import combine_checkpoints, load_checkpoint, save_checkpoint
     from ..train.checkpoint import latest_checkpoint, parameter_progress
 
+    import os as _os
+
+    from ..utils.logging import profile as _profile
+
     done = latest_checkpoint(checkpoint_dir) or 0
     if done:
         trainer.state = load_checkpoint(trainer.state, checkpoint_dir, done)
@@ -82,7 +86,13 @@ def run_checkpointed(trainer, it, num_steps: int, train_cfg: TrainConfig,
     state = trainer.state
     while remaining > 0:
         run_for = min(train_cfg.checkpoint_every, remaining)
-        state = trainer.run(it, num_steps=run_for)
+        start = num_steps - remaining
+        trace_dir = _os.path.join(
+            _os.path.dirname(checkpoint_dir) or ".", "profile",
+            f"seg{start}-{start + run_for}",
+        ) if getattr(train_cfg, "profile", False) else None
+        with _profile(trace_dir, enabled=trace_dir is not None):
+            state = trainer.run(it, num_steps=run_for)
         remaining -= run_for
         save_checkpoint(
             state, checkpoint_dir, num_steps - remaining,

@@ -270,6 +270,35 @@ def test_resume_from_checkpoint_dir(rng, tmp_path):
     assert latest_checkpoint(d) == 30
 
 
+def test_profile_traces_written_per_segment(rng, tmp_path):
+    """TrainConfig(profile=True): one XLA trace per checkpoint segment
+    under <workdir>/profile/seg<start>-<end> (VERDICT r4 item 9 — the
+    observability closer for SURVEY §5's 'use the JAX profiler' plan)."""
+    import os
+
+    from sepi_tpu.config import ChunkConfig, TrainConfig as TC
+    from sepi_tpu.data import make_synthetic_corpus
+    from sepi_tpu.models import XVectorConfig
+    from sepi_tpu.models.tdnn import TdnnSpec
+    from sepi_tpu.recipes import prepare_features_nosil, train_xvector_model
+
+    corpus = make_synthetic_corpus(num_speakers=3, utts_per_speaker=3, duration_sec=1.5)
+    nosil = prepare_features_nosil(corpus.audio)
+    cfg = XVectorConfig(feat_dim=23, num_speakers=3,
+                        frame_specs=(TdnnSpec(8, (-1, 0, 1)), TdnnSpec(16, (0,))),
+                        embed_dim=8)
+    tc = TC(chunks=ChunkConfig(min_chunk_len=30, max_chunk_len=50, num_buckets=1),
+            batch_size=8, checkpoint_every=10, profile=True)
+    train_xvector_model(nosil, corpus.dataset, cfg, tc, num_steps=20,
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        num_heldout_utts=0)
+    segs = sorted(os.listdir(tmp_path / "profile"))
+    assert segs == ["seg0-10", "seg10-20"]
+    for seg in segs:
+        files = [f for _, _, fs in os.walk(tmp_path / "profile" / seg) for f in fs]
+        assert files, f"no trace files in {seg}"
+
+
 def test_mesh_parallel_extraction_matches_single_device(rng):
     """Extraction sharded over the 8-device mesh (the nj=32 run.pl
     fan-out, on ICI) produces the same embeddings as single-device."""
