@@ -54,7 +54,11 @@ from ..config import (
     UbmConfig,
 )
 from ..data.manifest import Trial
-from ..data.synthetic import PhoneticCorpus, make_phonetic_corpus
+from ..data.synthetic import (
+    PhoneticCorpus,
+    make_phonetic_corpus,
+    make_phonetic_corpus_v2,
+)
 from ..models import (
     AdaptedConfig,
     AmConfig,
@@ -100,6 +104,17 @@ class GauntletScale:
     phone_seed: int = 11
     seed: int = 100
     enroll_utts: int = 3
+    # Corpus generator: 1 = the original stationary-signature generator
+    # (kept for the pinned CI calibration), 2 = the phonetically
+    # realistic generator (data.synthetic.make_phonetic_corpus_v2) whose
+    # speaker identity is non-stationary — VTL warp + per-phone
+    # articulation offsets + prosody, with a short/long utterance mix.
+    # The v2-only knobs below are ignored at corpus_version=1
+    # (and speaker_strength maps to tilt_strength at version 2).
+    corpus_version: int = 1
+    long_utt_frac: float = 0.25
+    phone_offset_std: float = 0.035
+    vtl_range: Tuple[float, float] = (0.88, 1.12)
     # budgets (steps = speaker-stream budget; see module docstring).
     # am_steps == steps: the reference pretrains its AM to convergence on
     # the full ASR corpus before grafting (train_am.sh, 3 epochs); an
@@ -158,6 +173,21 @@ class GauntletScale:
 
 # CI scale: the round-6 calibration point (module docstring numbers).
 CI_SCALE = GauntletScale()
+
+# Corpus-v2 CI scale (phonetically realistic generator): speaker
+# identity is non-stationary (VTL warp + per-phone offsets), the
+# stationary tilt is nearly off, and utterances mix short and long.
+# Calibrated so the neural ordering is measurable on the hermetic CPU
+# mesh; the hardware analog is HW_SCALE_V2.
+CI_SCALE_V2 = dataclasses.replace(
+    CI_SCALE,
+    corpus_version=2,
+    words_per_utt=(3, 7),
+    speaker_strength=0.06,  # -> tilt_strength: no stationary giveaway
+    f0_jitter=0.12,
+    noise_snr_db=(8.0, 20.0),
+    channel_strength=0.15,
+)
 
 # Adaptation-ablation scale: PLDA adaptation needs (a) a domain shift
 # that survives sliding CMVN — a NOISE-LEVEL shift plus a systematic
@@ -226,29 +256,39 @@ def make_gauntlet_data(scale: GauntletScale = CI_SCALE) -> GauntletData:
         utts_per_speaker=scale.utts_per_speaker,
         words_per_utt=scale.words_per_utt,
         phone_seed=scale.phone_seed,
-        speaker_strength=scale.speaker_strength,
         f0_jitter=scale.f0_jitter,
         noise_snr_db=scale.noise_snr_db,
         channel_strength=scale.channel_strength,
     )
+    if scale.corpus_version == 2:
+        maker = make_phonetic_corpus_v2
+        common.update(
+            tilt_strength=scale.speaker_strength,
+            long_utt_frac=scale.long_utt_frac,
+            phone_offset_std=scale.phone_offset_std,
+            vtl_range=scale.vtl_range,
+        )
+    else:
+        maker = make_phonetic_corpus
+        common["speaker_strength"] = scale.speaker_strength
     shifted = dict(common)
     if scale.eval_channel_strength is not None:
         shifted["channel_strength"] = scale.eval_channel_strength
     if scale.eval_noise_snr_db is not None:
         shifted["noise_snr_db"] = scale.eval_noise_snr_db
-    train = make_phonetic_corpus(
+    train = maker(
         num_speakers=scale.num_train_speakers, seed=scale.seed,
         spk_prefix="trn", channel_seed=scale.train_channel_seed,
         name="gauntlet_train", **common,
     )
     shifted_eval = dict(shifted)
     shifted_eval["utts_per_speaker"] = scale.eval_utts_per_speaker
-    evalc = make_phonetic_corpus(
+    evalc = maker(
         num_speakers=scale.num_eval_speakers, seed=scale.seed + 1,
         spk_prefix="evl", channel_seed=scale.eval_channel_seed,
         name="gauntlet_eval", **shifted_eval,
     )
-    adapt = make_phonetic_corpus(
+    adapt = maker(
         num_speakers=scale.num_adapt_speakers, seed=scale.seed + 2,
         spk_prefix="adp", channel_seed=scale.eval_channel_seed,
         name="gauntlet_adapt", **shifted,

@@ -144,6 +144,68 @@ def test_plda_adaptation_shifts_model(rng):
     assert after > before * 1.5
 
 
+def test_adapt_plda_matches_kaldi_construction(rng):
+    """Pin the PldaUnsupervisedAdaptor algorithm exactly (the r5 fix of
+    the r4-observed divergence): excess variance is measured in the
+    TOTAL-covariance-whitened space (transform row-scaled by
+    1/sqrt(1+psi), threshold 1.0), the model mean is replaced by the
+    adapt-set mean, and the mean difference inflates the variance
+    (mean_diff_scale, Kaldi default 1.0)."""
+    from sepi_tpu.backend.plda import _diagonalize
+
+    dim = 5
+    psi = np.sort(rng.uniform(0.5, 8.0, dim))[::-1].copy()
+    # a PLDA with a random (invertible) transform and the given psi
+    a = rng.normal(size=(dim, dim)) + np.eye(dim)
+    plda_mean = rng.normal(size=dim)
+    t_inv = np.linalg.inv(a)
+    phi_w = t_inv @ t_inv.T
+    phi_b = t_inv @ np.diag(psi) @ t_inv.T
+    plda = _diagonalize(plda_mean, phi_b, phi_w)
+    np.testing.assert_allclose(plda.psi, psi, rtol=1e-8)
+
+    # adapt vectors: model-shaped covariance plus excess e along one
+    # direction OF THE TOTAL-WHITENED SPACE, realized exactly by
+    # construction (covariance set analytically, zero sampling noise)
+    scale = 1.0 / np.sqrt(1.0 + plda.psi)
+    tmod = plda.transform * scale[:, None]
+    tmod_inv = np.linalg.inv(tmod)
+    v = np.zeros(dim)
+    v[2] = 1.0  # eigendirection in the whitened space
+    excess = 3.0
+    cov_whitened = np.eye(dim) + excess * np.outer(v, v)
+    adapt_mean = plda_mean + rng.normal(size=dim) * 0.5
+    # build vectors with EXACT mean and covariance
+    z = rng.normal(size=(4000, dim))
+    z = (z - z.mean(0)) @ np.linalg.inv(np.linalg.cholesky(np.cov(z.T, bias=True))).T
+    x = z @ np.linalg.cholesky(cov_whitened).T @ tmod_inv.T + adapt_mean
+
+    adapted = adapt_plda(plda, x, within_covar_scale=0.75,
+                         between_covar_scale=0.25, mean_diff_scale=0.0)
+    # mean replaced with the adapt mean
+    np.testing.assert_allclose(adapted.mean, adapt_mean, atol=1e-8)
+    # expected: in the whitened space W += 0.75 e vv', B += 0.25 e vv'
+    w_new = np.diag(1.0 / (1.0 + psi)) + 0.75 * excess * np.outer(v, v)
+    b_new = np.diag(psi / (1.0 + psi)) + 0.25 * excess * np.outer(v, v)
+    exp_phi_w = tmod_inv @ w_new @ tmod_inv.T
+    exp_phi_b = tmod_inv @ b_new @ tmod_inv.T
+    t2_inv = np.linalg.inv(adapted.transform)
+    got_phi_w = t2_inv @ t2_inv.T
+    got_phi_b = t2_inv @ np.diag(adapted.psi) @ t2_inv.T
+    np.testing.assert_allclose(got_phi_w, exp_phi_w, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(got_phi_b, exp_phi_b, rtol=1e-6, atol=1e-8)
+
+    # mean_diff_scale=1 additionally absorbs the mean shift: total
+    # variance along the shift direction grows vs the scale=0 result
+    adapted1 = adapt_plda(plda, x, mean_diff_scale=1.0)
+    d = adapt_mean - plda_mean
+    d = d / np.linalg.norm(d)
+    def total_var(p, direction):
+        ti = np.linalg.inv(p.transform)
+        return float(direction @ (ti @ np.diag(1.0 + p.psi) @ ti.T) @ direction)
+    assert total_var(adapted1, d) > total_var(adapted, d) + 1e-6
+
+
 def test_score_trials_join(rng):
     x, labels, _ = _synth_plda_data(rng, num_spk=10, utts=6, dim=4)
     plda = train_plda(x, labels, num_iters=5)

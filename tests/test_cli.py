@@ -32,6 +32,7 @@ def cli_world(tmp_path_factory):
     save_trials(corpus.trials, trials_path)
     return root, ddir, trials_path
 
+@pytest.mark.slow
 
 def test_cli_v2_end_to_end(cli_world, capsys):
     root, ddir, trials = cli_world
@@ -100,6 +101,7 @@ def test_cli_rejects_wrong_sample_rate(cli_world):
               "--trials", trials, "--workdir", str(root / "x"),
               "--sample-rate", "16000"])
 
+@pytest.mark.slow
 
 def test_cli_v2_with_augmentation_dirs(cli_world, tmp_path):
     """--musan-dir/--rirs-dir load pools from wav trees and feed the

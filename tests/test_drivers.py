@@ -56,6 +56,7 @@ def test_run_v2_driver(tmp_path, corpus):
 
     assert any(f.startswith("feats_train") for f in os.listdir(tmp_path))
 
+@pytest.mark.slow
 
 def test_run_v3_driver_with_adaptation_condition(tmp_path, corpus, pseudo_ali):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
@@ -70,6 +71,7 @@ def test_run_v3_driver_with_adaptation_condition(tmp_path, corpus, pseudo_ali):
     assert res.pooled.eer < 0.2
     assert res.pooled.num_target > 0
 
+@pytest.mark.slow
 
 def test_run_v2_with_adaptation_and_conditions(tmp_path, corpus):
     """SRE16-style run: unsupervised PLDA adaptation + condition splits."""
@@ -91,6 +93,7 @@ def test_run_v2_with_adaptation_and_conditions(tmp_path, corpus):
     assert any(c.startswith("lang:") for c in res.conditions)
     assert res.pooled.num_target > 0
 
+@pytest.mark.slow
 
 def test_run_v1_driver(tmp_path, corpus):
     from sepi_tpu.config import IvectorConfig, UbmConfig
@@ -107,6 +110,7 @@ def test_run_v1_driver(tmp_path, corpus):
     assert res.pooled.num_target > 0
     assert 0.0 <= res.pooled.eer <= 0.5
 
+@pytest.mark.slow
 
 def test_run_v4_and_v5_drivers(tmp_path, corpus, pseudo_ali):
     from sepi_tpu.models import AdaptedConfig, AmConfig, CombinedConfig
@@ -139,6 +143,7 @@ def test_run_v4_and_v5_drivers(tmp_path, corpus, pseudo_ali):
     )
     assert res5.pooled.eer < 0.35
 
+@pytest.mark.slow
 
 def test_driver_persists_embeddings(tmp_path, corpus):
     """Drivers write embeddings as a Kaldi ark+scp (interop artifact)."""
@@ -160,6 +165,7 @@ def test_driver_persists_embeddings(tmp_path, corpus):
     emb = read_vector(*table[corpus.dataset.utt_ids[0]])
     assert emb.shape == (32,) and np.all(np.isfinite(emb))
 
+@pytest.mark.slow
 
 def test_run_v2_with_augmentation(tmp_path, corpus, rng):
     """v2 stage-2 semantics (run_sre10.sh:92-159): augmented copies are
@@ -193,6 +199,7 @@ def test_run_v2_with_augmentation(tmp_path, corpus, rng):
                 if any(k in line for k in ("-reverb", "-noise", "-music", "-babble")))
     assert n_aug == 40
 
+@pytest.mark.slow
 
 def test_run_v3_augmented_speaker_stream(tmp_path, corpus, pseudo_ali, rng):
     """Augmented copies (no alignments) feed ONLY the speaker stream:
@@ -220,6 +227,7 @@ def test_run_v3_augmented_speaker_stream(tmp_path, corpus, pseudo_ali, rng):
     scp = open(os.path.join(str(tmp_path), "xvector.scp")).read()
     assert sum(1 for line in scp.splitlines() if "-noise" in line) == 10
 
+@pytest.mark.slow
 
 def test_drivers_run_heldout_diagnostics_and_combine(tmp_path, corpus, pseudo_ali):
     """The reference NEVER trains blind: every driver defaults to a

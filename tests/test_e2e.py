@@ -49,6 +49,7 @@ def test_feature_prep_shapes(corpus, nosil):
     total = sum(v.shape[0] for v in nosil.values())
     assert 0 < total
 
+@pytest.mark.slow
 
 def test_mini_v2_recipe(corpus, nosil):
     # NB: proportional_shrink is calibrated for the reference's 1e-3 LR
@@ -188,6 +189,7 @@ def test_heldout_split_keeps_uniq_groups_together():
                 assert v.utt_id in valid
     assert len(train) + len(valid) == len(ds)
 
+@pytest.mark.slow
 
 def test_augmented_training_e2e(corpus, nosil):
     """The v2 augmentation stage: clean + noise/reverb copies combined,
@@ -246,6 +248,7 @@ def test_edge_cases_tiny_audio():
     with pytest.raises(ValueError, match="no speaker has an utterance"):
         sampler.sample_batch()
 
+@pytest.mark.slow
 
 def test_batched_feature_prep_matches_per_utterance(rng):
     """prepare_features_nosil/phonetic batch utterances into padded

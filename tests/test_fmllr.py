@@ -81,6 +81,7 @@ def _phone_acc(aligner, alis, truth):
             cor += h == t
     return cor / tot
 
+@pytest.mark.slow
 
 def test_fmllr_improves_loglike_and_alignment(sat_world):
     """The SAT loop: align corrupted features with the clean model,

@@ -52,6 +52,7 @@ def test_gauntlet_data_is_nondegenerate():
         "trial counts must give ~1% EER resolution"
     )
 
+@pytest.mark.slow
 
 def test_gauntlet_phonetic_variants_beat_xvector(tmp_path):
     """The paper's ordering at matched speaker-stream budgets."""
@@ -68,12 +69,14 @@ def test_gauntlet_phonetic_variants_beat_xvector(tmp_path):
     # and the combined system helps by a real margin, not a tie
     assert eer["v5"] <= eer["v2"] - 0.02, f"v5 margin collapsed: {eer}"
 
+@pytest.mark.slow
 
 def test_gauntlet_v1_ivector_runs_at_measurable_eer(tmp_path):
     results = run_gauntlet(str(tmp_path), CI_SCALE, variants=("v1",))
     eer = results["v1"].pooled.eer
     assert 0.0 < eer < 0.45, f"i-vector should be measurable, got {eer}"
 
+@pytest.mark.slow
 
 def test_gauntlet_plda_adaptation_helps_shifted_domain(tmp_path):
     """Reference-semantics adaptation (`v2/run_sre16.sh:96-110`) on a
@@ -95,6 +98,7 @@ def test_gauntlet_plda_adaptation_helps_shifted_domain(tmp_path):
         f"{plain.min_dcf08:.4f} -> {full.min_dcf08:.4f}"
     )
 
+@pytest.mark.slow
 
 def test_gauntlet_augmentation_helps_noisy_eval(tmp_path):
     plain, aug = run_augmentation_ablation(str(tmp_path), CI_SCALE)

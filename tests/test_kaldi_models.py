@@ -442,6 +442,7 @@ def test_corruption_fuzz_never_crashes(tmp_path):
         except (ValueError, np.linalg.LinAlgError):
             pass
 
+@pytest.mark.slow
 
 def test_driver_run_writes_kaldi_artifacts(tmp_path):
     """run_v1(export_kaldi=True) leaves the reference exp-dir artifact

@@ -20,6 +20,9 @@ import socket
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer/driver e2e: slow tier
 
 REPO = Path(__file__).resolve().parent.parent
 WORKER = Path(__file__).resolve().parent / "multiproc_worker.py"

@@ -15,6 +15,8 @@ from sepi_tpu.recipes.nnet2_recipe import (
     train_nnet2_am,
 )
 
+pytestmark = pytest.mark.slow  # trainer/driver e2e: slow tier
+
 TINY_NNET2 = Nnet2Config(
     feat_dim=40,
     num_senones=24,

@@ -11,6 +11,8 @@ from sepi_tpu.models.tdnn import TdnnSpec
 from sepi_tpu.recipes import prepare_features_nosil
 from sepi_tpu.train import build_optimizer
 
+pytestmark = pytest.mark.slow  # trainer/driver e2e: slow tier
+
 TINY_SPECS = (
     TdnnSpec(24, (-2, -1, 0, 1, 2)),
     TdnnSpec(24, (-2, 0, 2)),

@@ -83,6 +83,7 @@ def test_am_pretraining_learns(world):
     # 3x chance demonstrates the frame-CE path learns.
     assert acc > 3.0 / NUM_SENONES, f"AM frame accuracy {acc} (chance = {1 / NUM_SENONES:.2f})"
 
+@pytest.mark.slow
 
 def test_v3_multitask_recipe(world):
     corpus, nosil, ali = world
@@ -94,6 +95,7 @@ def test_v3_multitask_recipe(world):
     eer = _eval_eer(corpus, model, state, nosil, 15, {"task": "xvec"})
     assert eer < 0.15, f"v3 EER {eer:.3f}"
 
+@pytest.mark.slow
 
 def test_v4_adaptation_recipe(world):
     corpus, nosil, ali = world
@@ -105,6 +107,7 @@ def test_v4_adaptation_recipe(world):
     eer = _eval_eer(corpus, model, state, nosil, cfg.context[0] + cfg.context[1] + 1)
     assert eer < 0.15, f"v4 EER {eer:.3f}"
 
+@pytest.mark.slow
 
 def test_v5_combined_recipe(world):
     corpus, nosil, ali = world
@@ -148,6 +151,7 @@ def test_graft_and_lr_factor_freeze(world):
         np.zeros(1),
     )
 
+@pytest.mark.slow
 
 def test_multitask_checkpoint_resume_and_combine(tmp_path, world):
     """combine_cvector_models parity: the multitask trainer checkpoints,

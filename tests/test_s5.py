@@ -93,6 +93,7 @@ def test_driver_requires_alignment_provider(tmp_path, corpus):
         run_v3(corpus.dataset, corpus.audio, {}, corpus.trials, enroll,
                workdir=str(tmp_path))
 
+@pytest.mark.slow
 
 def test_run_v3_from_transcripts_beats_pseudo(tmp_path, corpus):
     """The closed loop (VERDICT item 1): v3 trained on aligner-produced
@@ -119,6 +120,7 @@ def test_run_v3_from_transcripts_beats_pseudo(tmp_path, corpus):
     assert res_align.pooled.eer < 0.2
     assert res_align.pooled.eer <= res_pseudo.pooled.eer + 1e-9
 
+@pytest.mark.slow
 
 def test_run_v5_from_transcripts(tmp_path, corpus):
     from sepi_tpu.models import AmConfig, CombinedConfig

@@ -218,6 +218,7 @@ def test_checkpoint_pruning(rng):
         assert {25, 26, 27, 28, 29} <= kept
         assert 13 not in kept
 
+@pytest.mark.slow
 
 def test_multitask_data_parallel_steps(rng):
     """Both heads of a multitask model train under the 8-device mesh."""
@@ -245,6 +246,7 @@ def test_multitask_data_parallel_steps(rng):
     state, m2 = astep(state, feats, am_labels, w)
     assert np.isfinite(float(m1["objf"])) and np.isfinite(float(m2["objf"]))
 
+@pytest.mark.slow
 
 def test_resume_from_checkpoint_dir(rng, tmp_path):
     """train_xvector_model resumes from an existing checkpoint dir."""
@@ -409,6 +411,7 @@ def test_superstep_trainer_accounting(rng):
     assert [h[0] for h in tr.history] == [8, 12, 18]
     assert all(np.isfinite(h[2]["objf"]) for h in tr.history)
 
+@pytest.mark.slow
 
 def test_superstep_flushes_on_shape_or_task_change(rng):
     """Mixed-shape and mixed-task streams: buffered runs flush as

@@ -85,6 +85,7 @@ def test_trainer_divergence_guard(rng):
     with pytest.raises(RuntimeError, match="diverged"):
         tr.run(iter(batches), num_steps=1)
 
+@pytest.mark.slow
 
 def test_trainer_valid_diagnostics(rng):
     """Held-out diagnostics recorded as valid:<task> rows."""
