@@ -41,6 +41,10 @@ def _init_backend(max_tries=5, base_delay=10.0):
     """jax.devices() with bounded-backoff retry over tunnel flake."""
     import jax
 
+    from sepi_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     last = None
     for attempt in range(max_tries):
         try:

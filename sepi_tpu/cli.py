@@ -502,13 +502,26 @@ def gauntlet_main(argv) -> int:
     p = argparse.ArgumentParser(prog="sepi_tpu gauntlet",
                                 description=gauntlet_main.__doc__)
     p.add_argument("--workdir", required=True)
-    p.add_argument("--scale", choices=["ci", "hw"], default="ci",
+    p.add_argument("--scale", choices=["ci", "hw", "ci2", "hw2"],
+                   default="ci",
                    help="'ci' = CPU-sized calibration point; 'hw' = "
                         "full-size v2 graph + larger populations (run on "
-                        "the chip)")
+                        "the chip); the '2' variants use the "
+                        "phonetically realistic corpus-v2 generator "
+                        "(non-stationary speaker identity)")
     p.add_argument("--variants", default="v1,v2,v3,v4,v5")
     p.add_argument("--ablations", action="store_true",
                    help="also run the adaptation + augmentation ablations")
+    p.add_argument("--adapt-sweep", action="store_true",
+                   help="run the PLDA-adaptation ADAPT-SET-SIZE sweep "
+                        "(mean-only vs full 0.75/0.25 covariance "
+                        "interpolation at ~216 / ~2k / ~10k vectors) "
+                        "instead of the variant gauntlet")
+    p.add_argument("--v4-study", action="store_true",
+                   help="run the v4 effect-size study (am_lr_factor x "
+                        "AM-budget sweep, each cell paired-bootstrapped "
+                        "against one shared v2 baseline) instead of the "
+                        "variant gauntlet")
     p.add_argument("--bootstrap", type=int, default=0, metavar="N",
                    help="paired speaker-level bootstrap with N replicates: "
                         "pins the v2-vs-phonetic ordering with a 95%% CI "
@@ -526,22 +539,37 @@ def gauntlet_main(argv) -> int:
                         "bootstrap excludes)")
     args = p.parse_args(argv)
     from .recipes.gauntlet import (
-        CI_SCALE, HW_SCALE, format_table, make_gauntlet_data,
-        paired_speaker_bootstrap,
-        run_adaptation_ablation, run_augmentation_ablation, run_gauntlet,
+        CI_SCALE, CI_SCALE_V2, HW_SCALE, HW_SCALE_V2, format_table,
+        make_gauntlet_data, paired_speaker_bootstrap,
+        run_adaptation_ablation, run_adaptation_scale_ablation,
+        run_augmentation_ablation, run_gauntlet, run_v4_effect_study,
     )
 
-    scale = CI_SCALE if args.scale == "ci" else HW_SCALE
+    scale = {"ci": CI_SCALE, "hw": HW_SCALE,
+             "ci2": CI_SCALE_V2, "hw2": HW_SCALE_V2}[args.scale]
     if args.eval_speakers:
         import dataclasses as _dc
 
         scale = _dc.replace(scale, num_eval_speakers=args.eval_speakers)
+    if args.adapt_sweep:
+        # the sweep has its own calibrated operating point (ADAPT_SCALE:
+        # noise+channel domain shift that survives CMVN); --scale is
+        # ignored here
+        run_adaptation_scale_ablation(args.workdir)
+        return 0
+    if args.v4_study:
+        run_v4_effect_study(args.workdir, scale,
+                            n_boot=args.bootstrap or 2000)
+        return 0
     results = run_gauntlet(args.workdir, scale,
                            variants=tuple(args.variants.split(",")),
                            train_seed=args.train_seed)
     print(format_table(results), flush=True)
     if args.bootstrap:
         pairs = [("v2", v) for v in ("v3", "v4", "v5") if v in results]
+        if "v1" in results and "v2" in results:
+            # the neural-beats-supervector acceptance pair (corpus v2)
+            pairs.insert(0, ("v1", "v2"))
         if "v2" not in results or not pairs:
             print("bootstrap: needs v2 (the baseline) plus at least one "
                   "of v3/v4/v5 in --variants; skipping", flush=True)
@@ -564,6 +592,9 @@ def gauntlet_main(argv) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "prep-asr":

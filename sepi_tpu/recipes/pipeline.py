@@ -128,6 +128,27 @@ def make_task_supersteps(model, tx, tasks, train_cfg: TrainConfig, mesh=None):
     }
 
 
+def _shape_bucket(n: int, grid: int, growth: float = 1.3) -> int:
+    """Padded-length bucket for one frontend batch: linear ``grid``
+    steps up to ``4*grid`` samples, geometric ~30% steps beyond.
+
+    A linear grid alone is wrong for corpora mixing 2 s snippets with
+    10-25 s reads (gauntlet corpus v2, real SRE10 core): every extra
+    half-second of max length is a NEW compiled program, and on a
+    tunneled backend each compile costs tens of seconds — corpus
+    feature prep became compile-bound.  The geometric tail bounds the
+    distinct shapes at O(log max_len) (~15 up to 30 s) while batches
+    stay length-sorted, so the padding waste the coarser buckets admit
+    (<30%) is rarely realized."""
+    n = max(int(n), 1)
+    if n <= 4 * grid:
+        return -(-n // grid) * grid
+    b = 4 * grid
+    while b < n:
+        b = -(-int(b * growth) // grid) * grid
+    return b
+
+
 def _frontend_batches(
     audio: Mapping[str, np.ndarray],
     fe: FeatureExtractor,
@@ -177,7 +198,7 @@ def _frontend_batches(
         ids = sorted(audio, key=lambda u: (len(audio[u]), u))
     for i in range(0, len(ids), batch_size):
         chunk = [(u, np.asarray(audio[u])) for u in ids[i : i + batch_size]]
-        pad_len = -(-max(len(x) for _, x in chunk) // pad_grid) * pad_grid
+        pad_len = _shape_bucket(max(len(x) for _, x in chunk), pad_grid)
         samples = np.zeros((len(chunk), pad_len), np.float32)
         lengths = np.zeros((len(chunk),), np.int32)
         for b, (_, x) in enumerate(chunk):
