@@ -16,6 +16,7 @@ from sepi_tpu.backend import (
 from sepi_tpu.backend.plda import score_trials, _LOG_2PI
 from sepi_tpu.data.manifest import Trial
 from sepi_tpu.metrics import eer
+from sepi_tpu.metrics.det import evaluate_scores
 
 
 def _synth_plda_data(rng, num_spk=40, utts=10, dim=8, b_scale=4.0, w_scale=1.0):
@@ -204,6 +205,68 @@ def test_adapt_plda_matches_kaldi_construction(rng):
         ti = np.linalg.inv(p.transform)
         return float(direction @ (ti @ np.diag(1.0 + p.psi) @ ti.T) @ direction)
     assert total_var(adapted1, d) > total_var(adapted, d) + 1e-6
+
+
+def test_adapt_plda_mean_dominates_even_vs_oracle(rng):
+    """Why the covariance step buys no EER on symmetric domain shifts
+    (docs/BENCHMARKS.md "Adapt-set-size sweep"): with a strong rank-8
+    within-speaker shift hitting every trial alike, an ORACLE PLDA
+    retrained on labeled in-domain data does no better than mean-only
+    re-centering — there is no ranking left for covariance correction
+    to fix, so `ivector-adapt-plda`'s EER value concentrates in its
+    mean replacement.  Deterministic seeds; pins the mechanism, not a
+    knife-edge ordering."""
+    gen = np.random.default_rng(0)
+    dim = 40
+    bstd = gen.uniform(0.5, 1.5, dim)
+    wstd = gen.uniform(0.3, 0.8, dim)
+
+    def draw(n_spk, n_utt, extra_w, mean_off, seed):
+        r = np.random.default_rng(seed)
+        off = mean_off * r.standard_normal(dim)
+        q = np.linalg.qr(r.standard_normal((dim, dim)))[0][:, :8]
+        xs, spks = [], []
+        for s in range(n_spk):
+            mu = bstd * r.standard_normal(dim)
+            for _ in range(n_utt):
+                x = mu + wstd * r.standard_normal(dim) + off
+                if extra_w:
+                    x = x + q @ (extra_w * r.standard_normal(8))
+                xs.append(x)
+                spks.append(s)
+        return np.array(xs), np.array(spks)
+
+    x_src, s_src = draw(300, 10, 0.0, 0.0, seed=1)
+    plda = train_plda(x_src, s_src, num_iters=10)
+    x_ev, s_ev = draw(80, 10, 2.0, 1.0, seed=2)
+    x_ad, s_ad = draw(400, 9, 2.0, 1.0, seed=3)
+
+    def eer_of(model):
+        enroll, tests = {}, []
+        for i, s in enumerate(s_ev):
+            if s not in enroll:
+                enroll[s] = x_ev[i]
+            else:
+                tests.append((s, x_ev[i]))
+        e = np.array(list(enroll.values()))
+        ek = np.array(list(enroll.keys()))
+        t = np.array([v for _, v in tests])
+        tk = np.array([k for k, _ in tests])
+        mat = plda_score_matrix(model, e, t)
+        lab = ek[:, None] == tk[None, :]
+        return evaluate_scores(mat[lab], mat[~lab]).eer
+
+    plain = eer_of(plda)
+    mean_only = eer_of(adapt_plda(plda, x_ad, 0.0, 0.0))
+    full = eer_of(adapt_plda(plda, x_ad, 0.75, 0.25))
+    oracle = eer_of(train_plda(x_ad, s_ad, num_iters=10))
+    # mean re-centering is the dominant, robust EER effect
+    assert mean_only < plain
+    # the oracle (labeled in-domain retrain) cannot beat mean-only
+    assert oracle <= mean_only + 0.005
+    # and the unsupervised covariance step lands between them and plain
+    # (it does not catastrophically break scoring, nor does it help)
+    assert full < plain + 0.03
 
 
 def test_score_trials_join(rng):
