@@ -91,8 +91,14 @@ def sliding_cmvn(
         # c: (B, T+1, D) exclusive prefix sums of some quantity
         if cfg.center:
             # interior: start = t - half, end = start + w -> static shifts
-            # (pad so the shifted slices exist for every t)
-            cp = jnp.pad(c, ((0, 0), (half, w), (0, 0)))
+            # (pad so the shifted slices exist for every t).  The upper
+            # slice can index csum past T (an utterance with
+            # half < n < w inside a batch padded to T < w frames, whose
+            # row t = half is selected as "interior" with upper index
+            # t + w - half): the prefix sum must SATURATE at csum[T]
+            # (the total), so pad with edge replication, not zeros —
+            # a zero there produced a silently unnormalized frame.
+            cp = jnp.pad(c, ((0, 0), (half, w), (0, 0)), mode="edge")
             # at row t: cp[t + half + (w - half)] - cp[t + half - half]
             upper = cp[:, w:w + t]          # csum[t + (w - half)]
             lower = cp[:, 0:t]              # csum[t - half]
@@ -117,6 +123,13 @@ def sliding_cmvn(
         start = tt - w + 1
         lo_edge = start < 0
         hi_edge = start > (n[:, None] - win[:, None])
+    # A window that spans every valid frame (n <= w) makes ALL frames'
+    # stats the global total = the left-edge row.  Routing them there
+    # (rather than letting t == half fall into the interior slices)
+    # keeps the output bitwise-invariant to the batch pad width: the
+    # interior path would read the saturated prefix sum, whose blocked
+    # accumulation order differs across pad lengths by ~1e-6.
+    lo_edge = lo_edge | (win >= n)[:, None]
 
     csum = jnp.concatenate(
         [jnp.zeros((b, 1, d), x.dtype), _cumsum_time(x)], axis=1

@@ -288,6 +288,28 @@ def test_sliding_cmvn_batched_masked(rng):
     assert np.all(np.asarray(out[0, t1:]) == 0)
 
 
+def test_sliding_cmvn_short_utt_in_short_pad(rng):
+    """Regression: an utterance with half < n < window frames, padded to
+    T < window, selects the 'interior' stats branch at exactly t = half
+    with an upper prefix-sum index past T.  The prefix sum must saturate
+    at the total (edge padding) — a zero there left that one frame
+    silently unnormalized (caught as a pad-length-dependent feature
+    mismatch once geometric shape buckets changed batch pad widths)."""
+    cfg = CmvnConfig()  # window 300, center
+    n = 175
+    for t_pad in (n, 200, 299, 360):
+        feats = np.zeros((1, t_pad, 4), np.float32)
+        body = rng.normal(size=(n, 4)).astype(np.float32) * 2 + 1
+        feats[0, :n] = body
+        mask = np.zeros((1, t_pad), bool)
+        mask[0, :n] = True
+        out = np.asarray(sliding_cmvn(feats, mask, cfg))[0, :n]
+        np.testing.assert_allclose(
+            out, oracle_sliding_cmvn(body.astype(np.float64), cfg),
+            rtol=1e-3, atol=1e-3, err_msg=f"t_pad={t_pad}",
+        )
+
+
 def test_deltas_match_oracle(rng):
     feats = rng.normal(size=(40, 6)).astype(np.float32)
     out = add_deltas(feats, np.ones(40, bool))
