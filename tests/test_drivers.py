@@ -41,6 +41,7 @@ def pseudo_ali(corpus):
     return pseudo_senone_alignments(nosil, 10, seed=3)
 
 
+@pytest.mark.slow
 def test_run_v2_driver(tmp_path, corpus):
     enroll = {s: us[:1] for s, us in corpus.dataset.spk2utt.items()}
     res = run_v2(

@@ -70,6 +70,7 @@ def test_alignments_are_frame_aligned(world):
         assert ali[u].max() < NUM_SENONES
 
 
+@pytest.mark.slow
 def test_am_pretraining_learns(world):
     corpus, nosil, ali = world
     model, state = train_am_model(nosil, ali, TINY_AM, TRAIN_CFG, num_steps=120)
@@ -123,6 +124,7 @@ def test_v5_combined_recipe(world):
     assert eer < 0.15, f"v5 EER {eer:.3f}"
 
 
+@pytest.mark.slow
 def test_graft_and_lr_factor_freeze(world):
     """am_lr_factor=0 must leave the grafted AM subtree bit-identical
     after training — exercising both the graft and the optimizer's

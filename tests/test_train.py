@@ -272,6 +272,7 @@ def test_resume_from_checkpoint_dir(rng, tmp_path):
     assert latest_checkpoint(d) == 30
 
 
+@pytest.mark.slow
 def test_profile_traces_written_per_segment(rng, tmp_path):
     """TrainConfig(profile=True): one XLA trace per checkpoint segment
     under <workdir>/profile/seg<start>-<end> (VERDICT r4 item 9 — the
