@@ -46,6 +46,10 @@ from ..models import (
 from ..utils.artifacts import ArtifactCache
 from ..utils.logging import MetricsLogger
 from . import phonetic, pipeline
+import jax.numpy as jnp
+
+from ..classical.gmm import FullGmm
+from ..classical.ivector import IvectorExtractor
 from .ivector_recipe import (
     extract_v1_ivectors,
     prepare_features_ivector,
@@ -348,8 +352,27 @@ def run_v1(
         }
         post_all = posterior_provider(hires)
         post_train = {u: post_all[u] for u in feats_train}
-    ubm, ext = train_v1_frontend(feats_train, ubm_cfg, iv_cfg,
+    # UBM + T-matrix training and i-vector extraction are the expensive
+    # v1 stages (the reference persists final.ubm/final.ie/ivector.scp
+    # and resumes past them, `v1/run_sre10.sh:89-137`); cache both so a
+    # re-invocation (e.g. the gauntlet re-run that adds variants or
+    # bootstraps) skips straight to the backend
+    _fkey = [train_dataset.name, _audio_fingerprint(train_audio),
+             ubm_cfg, iv_cfg, posterior_provider is not None]
+
+    def _frontend_stage():
+        u, e = train_v1_frontend(feats_train, ubm_cfg, iv_cfg,
                                  posteriors=post_train)
+        return {
+            "ubm": {"weights": u.weights, "means": u.means, "covars": u.covars},
+            "ext": {"t": e.t, "whitener": e.whitener, "means": e.means},
+        }
+
+    art = cache.stage("v1_frontend", _fkey, _frontend_stage, log=print)
+    ubm = FullGmm(*(jnp.asarray(art["ubm"][k], jnp.float32)
+                    for k in ("weights", "means", "covars")))
+    ext = IvectorExtractor(*(jnp.asarray(art["ext"][k], jnp.float32)
+                             for k in ("t", "whitener", "means")))
     if export_kaldi:
         from ..utils import kaldi_models as _km
 
@@ -357,8 +380,14 @@ def run_v1(
         os.makedirs(kdir, exist_ok=True)
         _km.write_full_ubm(os.path.join(kdir, "final.ubm"), ubm)
         _km.write_ivector_extractor(os.path.join(kdir, "final.ie"), ext)
-    ivecs = extract_v1_ivectors(ubm, ext, {**feats_train, **feats_eval}, iv_cfg,
-                                ubm_cfg.full_gselect, posteriors=post_all)
+    ivecs = cache.stage(
+        "v1_ivectors", _fkey + [_audio_fingerprint(eval_audio)],
+        lambda: extract_v1_ivectors(ubm, ext, {**feats_train, **feats_eval},
+                                    iv_cfg, ubm_cfg.full_gselect,
+                                    posteriors=post_all),
+        log=print,
+    )
+    ivecs = {u: np.asarray(v, np.float32) for u, v in ivecs.items()}
     adapt_embs = None
     if adapt_audio is not None:
         if posterior_provider is None:
