@@ -32,7 +32,7 @@ steps/align_fmllr.sh); both build on this module's graphs and Viterbi.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
@@ -243,6 +243,61 @@ def _round_up(n: int, step: int = 32) -> int:
     return -(-n // step) * step
 
 
+def _bucket_len(n: int, base: int = 256, ratio: float = 1.25) -> int:
+    """Geometric padded-length ladder for the batched alignment path.
+
+    A linear 64-frame grid mints ~36 distinct XLA programs across a
+    2 s–25 s corpus; on a remote-compile backend each program costs tens
+    of seconds the first time.  A 1.25× ladder covers the same range in
+    ~12 shapes, and since utterances are length-sorted into groups the
+    realized padding waste stays far below the 25% worst case (same
+    scheme as the frontend's `ops.features` bucket ladder)."""
+    if n <= base:
+        return _round_up(n, 64)
+    b = float(base)
+    while b < n:
+        b *= ratio
+    return _round_up(int(b), 64)
+
+
+@jax.jit
+def _emissions_batch(means, vars_, mix_w, feats):
+    """(B, T, D) -> (B, T, P) log diag-GMM emissions, params as ARGUMENTS.
+
+    EM re-estimates the GMM every iteration.  Jitting a closure over the
+    aligner embeds its arrays as HLO *constants*, so every length bucket
+    recompiles every iteration — at corpus scale through a
+    remote-compile backend that is hours of compiles for zero new
+    machine code.  With the parameters as arguments one program per
+    (B, T) shape serves the entire EM run, the tied-tree stage and the
+    refinement rounds (same rule as the training step: stable HLO,
+    data-varying operands)."""
+    p, c, d = means.shape
+    m = means.reshape(p * c, d)
+    v = vars_.reshape(p * c, d)
+    inv_v = 1.0 / v
+    const = mix_w.reshape(p * c) - 0.5 * (
+        jnp.sum(jnp.log(v), axis=1)
+        + d * jnp.log(2.0 * jnp.pi)
+        + jnp.sum(m * m * inv_v, axis=1)
+    )
+    lin = jnp.dot(feats, (m * inv_v).T, preferred_element_type=jnp.float32)
+    quad = jnp.dot(feats * feats, (0.5 * inv_v).T,
+                   preferred_element_type=jnp.float32)
+    ll = const[None, None] + lin - quad  # (B, T, P*C)
+    b, t = feats.shape[:2]
+    return jax.scipy.special.logsumexp(ll.reshape(b, t, p, c), axis=3)
+
+
+@lru_cache(maxsize=None)
+def _viterbi_reference_jit():
+    # module-level-cached so repeated align_graphs calls retrace at most
+    # once per shape instead of re-jitting a fresh closure per call
+    from .viterbi_pallas import viterbi_batch_reference
+
+    return jax.jit(viterbi_batch_reference, static_argnames=("skip",))
+
+
 def align_utterance(
     aligner: MonoAligner,
     graph: UttGraph,
@@ -396,12 +451,15 @@ def train_mono_aligner(
     comps_per_state: int = 2,
     seed: int = 0,
     batched: bool = True,
+    log=None,
 ) -> MonoAligner:
     """Flat-start + Viterbi-EM monophone training (train_mono.sh analog).
 
     ``batched`` runs each EM re-alignment through the bucketed batched
     Viterbi (a handful of XLA programs for the whole corpus instead of
     one per utterance shape)."""
+    import time as _time
+
     rng = np.random.default_rng(seed)
     cache = _GraphCache(lexicon, states_per_phone)
     num_pdf = len(lexicon.phones) * states_per_phone
@@ -416,6 +474,7 @@ def train_mono_aligner(
     )
     aligned = {u: features[u] for u in alignments}
     for it in range(num_iters):
+        t0 = _time.time()
         comps = 1 if it < num_iters // 2 else comps_per_state
         alignments = align_corpus(
             aligner, aligned, transcripts, lexicon, batched=batched
@@ -423,6 +482,9 @@ def train_mono_aligner(
         aligner = _estimate_from_alignment(
             features, alignments, num_pdf, comps, lexicon.phones, states_per_phone, rng
         )
+        if log:
+            log(f"[mono] EM iter {it + 1}/{num_iters} "
+                f"({comps} comp/state, {_time.time() - t0:.0f}s)")
     return aligner
 
 
@@ -487,7 +549,7 @@ def align_graphs(
     path — only the pdf tables differ.  Buckets utterances by padded
     (T, S) so a handful of XLA programs cover the corpus; runs the Pallas
     Viterbi on TPU, the vectorized scan elsewhere."""
-    from .viterbi_pallas import viterbi_batch, viterbi_batch_reference
+    from .viterbi_pallas import viterbi_batch
 
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -497,21 +559,21 @@ def align_graphs(
     items.sort(key=lambda x: (x[2], x[1].num_states))
     out: Dict[str, np.ndarray] = {}
     states_out: Dict[str, np.ndarray] = {}
-    emit_fn = jax.jit(
-        lambda f: jax.vmap(aligner.log_emissions)(f)
-    )
     for i0 in range(0, len(items), batch_size):
         group = items[i0 : i0 + batch_size]
-        t_pad = _round_up(max(x[2] for x in group), 64)
+        t_pad = _bucket_len(max(x[2] for x in group))
         s_pad = _round_up(max(x[1].num_states for x in group), 128)
         b = len(group)
         # one batched emission GEMM per group (per-utterance dispatches
-        # are round-trip-bound on remote devices)
+        # are round-trip-bound on remote devices); GMM params ride as
+        # jit ARGUMENTS so EM iterations share compiled programs
         d = features[group[0][0]].shape[1]
         feats_p = np.zeros((b, t_pad, d), np.float32)
         for j, (u, _, t_len) in enumerate(group):
             feats_p[j, :t_len] = features[u]
-        e_all = np.asarray(emit_fn(jnp.asarray(feats_p)))  # (b, t_pad, P)
+        e_all = np.asarray(_emissions_batch(
+            aligner.means, aligner.vars, aligner.mix_w, jnp.asarray(feats_p)
+        ))  # (b, t_pad, P)
         emit = np.full((b, t_pad, s_pad), _NEG, np.float32)
         tlen = np.zeros(b, np.int32)
         trans = np.zeros((b, 3, s_pad), np.float32)
@@ -522,9 +584,7 @@ def align_graphs(
             tlen[j] = t_len
             trans[j] = tr
             tables.append((pdf, preds, g))
-        fn = viterbi_batch if use_pallas else jax.jit(
-            viterbi_batch_reference, static_argnames=("skip",)
-        )
+        fn = viterbi_batch if use_pallas else _viterbi_reference_jit()
         bps, delta = fn(
             jnp.asarray(emit), jnp.asarray(tlen), jnp.asarray(trans), skip
         )

@@ -345,6 +345,7 @@ def refine_tied_aligner(
     batched: bool = True,
     use_pallas: Optional[bool] = None,
     init_alignments: Optional[Mapping[str, np.ndarray]] = None,
+    log=None,
 ) -> RefineResult:
     """Viterbi-EM refinement at senone granularity (the tri-pass analog).
 
@@ -389,6 +390,9 @@ def refine_tied_aligner(
         total = sum(len(a) for a in new_ali.values())
         shifts.append(changed / max(total, 1))
         ali = new_ali
+        if log:
+            log(f"[tied] refine iter {it + 1}/{num_iters}: "
+                f"{shifts[-1] * 100:.1f}% frames shifted")
     phones = {u: state_phone[u][states[u]] for u in states}
     return RefineResult(model, ali, phones, shifts)
 
@@ -403,14 +407,17 @@ def train_tied_aligner(
     states_per_phone: int = 3,
     seed: int = 0,
     batched: bool = True,
+    log=None,
 ) -> TiedAligner:
     """Mono training + context-stat collection + tree building."""
     from .mono import align_graphs
 
     mono = train_mono_aligner(
         features, transcripts, lexicon, mono_iters, states_per_phone, seed=seed,
-        batched=batched,
+        batched=batched, log=log,
     )
+    if log:
+        log("[tied] collecting context stats")
     spp = states_per_phone
     cache = _GraphCache(lexicon, spp)
     graphs = {u: cache.get(transcripts[u]) for u in features if u in transcripts}

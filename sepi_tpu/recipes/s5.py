@@ -81,6 +81,7 @@ def run_s5(
         min_count=cfg.min_count,
         states_per_phone=cfg.states_per_phone,
         seed=cfg.seed,
+        log=log,
     )
     if log:
         log(f"[s5] tied tree: {tied.num_senones} senones "
@@ -134,6 +135,7 @@ def run_s5(
         num_iters=cfg.refine_iters,
         comps_per_senone=cfg.comps_per_senone,
         seed=cfg.seed,
+        log=log,
         init_alignments=ali_cur if cfg.lda_mllt else None,
     )
     if log:
